@@ -1,0 +1,247 @@
+"""2-D NN building blocks (flax.linen, channels-last / NHWC).
+
+Functional equivalents of the reference's stp3/layers/convolutions.py:
+ConvBlock, Bottleneck, Interpolate, UpsamplingConcat, UpsamplingAdd,
+ASPP / DeepLabHead, ConvNeXt Block, Bottleblock.
+
+TPU-first deviations (documented, SURVEY.md §7 hard-part 6):
+  * normalisation defaults to GroupNorm instead of (sync-)BatchNorm — no
+    mutable state under jit and no cross-replica traffic; channels-last
+    keeps the lane dimension on channels for the MXU.
+  * bilinear resizes use jax.image.resize (half-pixel convention, i.e.
+    torch align_corners=False).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _num_groups(channels: int, preferred: int = 8) -> int:
+    g = min(preferred, channels)
+    while channels % g != 0:
+        g -= 1
+    return max(g, 1)
+
+
+class Norm(nn.Module):
+    """GroupNorm by default ('gn'); 'ln' LayerNorm; 'none' identity."""
+    kind: str = 'gn'
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == 'none':
+            return x
+        if self.kind == 'ln':
+            return nn.LayerNorm()(x)
+        return nn.GroupNorm(num_groups=_num_groups(x.shape[-1], self.groups))(x)
+
+
+def upsample_bilinear(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """Bilinear 2x upsample, NHWC / N...HWC, torch align_corners=False."""
+    shape = list(x.shape)
+    shape[-3] *= scale
+    shape[-2] *= scale
+    return jax.image.resize(x, tuple(shape), method='bilinear')
+
+
+def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    shape = list(x.shape)
+    shape[-3], shape[-2] = hw
+    return jax.image.resize(x, tuple(shape), method='bilinear')
+
+
+class ConvBlock(nn.Module):
+    """conv -> norm -> activation (reference convolutions.py:10-62)."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm: str = 'gn'
+    activation: str = 'relu'
+    use_bias: bool = False
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        k = (self.kernel_size, self.kernel_size)
+        if self.transpose:
+            x = nn.ConvTranspose(self.out_channels, k, strides=(self.stride, self.stride),
+                                 padding='SAME', use_bias=self.use_bias)(x)
+        else:
+            x = nn.Conv(self.out_channels, k, strides=(self.stride, self.stride),
+                        padding='SAME', use_bias=self.use_bias)(x)
+        if self.norm != 'none':
+            x = Norm(self.norm)(x)
+        act = {'relu': nn.relu, 'lrelu': lambda v: nn.leaky_relu(v, 0.1),
+               'elu': nn.elu, 'tanh': jnp.tanh, 'none': lambda v: v}[self.activation]
+        return act(x)
+
+
+class Bottleneck(nn.Module):
+    """1x1 down-project -> kxk conv (optionally strided/up) -> 1x1 up-project,
+    each norm+relu, with a projected residual (reference convolutions.py:65-169)."""
+    out_channels: Optional[int] = None
+    kernel_size: int = 3
+    upsample: bool = False
+    downsample: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        bneck = in_ch // 2
+
+        h = nn.Conv(bneck, (1, 1), use_bias=False)(x)
+        h = nn.relu(Norm()(h))
+        k = (self.kernel_size, self.kernel_size)
+        if self.upsample:
+            h = nn.ConvTranspose(bneck, k, strides=(2, 2), padding='SAME', use_bias=False)(h)
+        elif self.downsample:
+            h = nn.Conv(bneck, k, strides=(2, 2), padding='SAME', use_bias=False)(h)
+        else:
+            h = nn.Conv(bneck, k, padding='SAME', use_bias=False)(h)
+        h = nn.relu(Norm()(h))
+        h = nn.Conv(out_ch, (1, 1), use_bias=False)(h)
+        h = nn.relu(Norm()(h))
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+
+        if out_ch == in_ch and not self.downsample and not self.upsample:
+            skip = x
+        else:
+            skip = x
+            if self.upsample:
+                skip = upsample_bilinear(skip, 2)
+            elif self.downsample:
+                # zero-pad odd h/w so the pooled skip matches the ceil-ing
+                # strided conv (reference convolutions.py:165-167)
+                ph, pw = skip.shape[-3] % 2, skip.shape[-2] % 2
+                if ph or pw:
+                    skip = jnp.pad(skip, ((0, 0),) * (skip.ndim - 3) + ((0, ph), (0, pw), (0, 0)))
+                skip = nn.max_pool(skip, (2, 2), strides=(2, 2))
+            skip = nn.Conv(out_ch, (1, 1), use_bias=False)(skip)
+            skip = Norm()(skip)
+        return h + skip
+
+
+class UpsamplingConcat(nn.Module):
+    """2x bilinear upsample, concat skip, 2x (conv-norm-relu)
+    (reference convolutions.py:183-201)."""
+    out_channels: int
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x_to_upsample, x_skip):
+        x = upsample_bilinear(x_to_upsample, self.scale_factor)
+        if x.shape[-3:-1] != x_skip.shape[-3:-1]:
+            x = resize_bilinear(x, x_skip.shape[-3:-1])
+        x = jnp.concatenate([x_skip, x], axis=-1)
+        for _ in range(2):
+            x = nn.Conv(self.out_channels, (3, 3), padding='SAME', use_bias=False)(x)
+            x = nn.relu(Norm()(x))
+        return x
+
+
+class UpsamplingAdd(nn.Module):
+    """2x bilinear upsample -> 1x1 conv -> norm, + skip
+    (reference convolutions.py:204-215)."""
+    out_channels: int
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x, x_skip):
+        x = upsample_bilinear(x, self.scale_factor)
+        if x.shape[-3:-1] != x_skip.shape[-3:-1]:
+            x = resize_bilinear(x, x_skip.shape[-3:-1])
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False)(x)
+        x = Norm()(x)
+        return x + x_skip
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (reference convolutions.py:242-270)."""
+    out_channels: int = 256
+    atrous_rates: Sequence[int] = (12, 24, 36)
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        res = []
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False)(x)
+        res.append(nn.relu(Norm()(h)))
+        for rate in self.atrous_rates:
+            h = nn.Conv(self.out_channels, (3, 3), kernel_dilation=(rate, rate),
+                        padding='SAME', use_bias=False)(x)
+            res.append(nn.relu(Norm()(h)))
+        # global pooling branch
+        g = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        g = nn.Conv(self.out_channels, (1, 1), use_bias=False)(g)
+        g = nn.relu(Norm()(g))
+        g = jnp.broadcast_to(g, res[0].shape)
+        res.append(g)
+        h = jnp.concatenate(res, axis=-1)
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False)(h)
+        h = nn.relu(Norm()(h))
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        return h
+
+
+class DeepLabHead(nn.Module):
+    """ASPP -> 3x3 conv-norm-relu -> 1x1 conv (reference convolutions.py:272-280)."""
+    num_classes: int
+    hidden_channel: int = 256
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = ASPP(out_channels=self.hidden_channel)(x, train=train)
+        x = nn.Conv(self.hidden_channel, (3, 3), padding='SAME', use_bias=False)(x)
+        x = nn.relu(Norm()(x))
+        return nn.Conv(self.num_classes, (1, 1))(x)
+
+
+class ConvNeXtBlock(nn.Module):
+    """ConvNeXt block: dwconv7 -> LN -> pw 4x -> GELU -> pw -> gamma + skip
+    (reference convolutions.py:310-346). Channels-last native — no permutes."""
+    layer_scale_init_value: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = nn.Conv(dim, (7, 7), padding='SAME', feature_group_count=dim)(x)
+        h = nn.LayerNorm(epsilon=1e-6)(h)
+        h = nn.Dense(4 * dim)(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(dim)(h)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param('gamma', nn.initializers.constant(self.layer_scale_init_value), (dim,))
+            h = gamma * h
+        return x + h
+
+
+class Bottleblock(nn.Module):
+    """7x7 -> LN -> GELU, 1x1, 3x3 with GELU-projected residual
+    (reference convolutions.py:348-380)."""
+    out_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        bneck = in_ch // 2
+        h = nn.Conv(bneck, (7, 7), padding='SAME', use_bias=False)(x)
+        h = nn.gelu(nn.LayerNorm(epsilon=1e-6)(h), approximate=False)
+        h = nn.Conv(bneck, (1, 1), use_bias=False)(h)
+        h = nn.gelu(nn.LayerNorm(epsilon=1e-6)(h), approximate=False)
+        h = nn.Conv(out_ch, (3, 3), padding='SAME', use_bias=False)(h)
+        h = nn.gelu(nn.LayerNorm(epsilon=1e-6)(h), approximate=False)
+        if out_ch == in_ch:
+            skip = x
+        else:
+            skip = nn.gelu(nn.Conv(out_ch, (1, 1), use_bias=False)(x), approximate=False)
+        return h + skip

@@ -1,0 +1,261 @@
+"""Temporal layers: convolutional GRUs and causal 3-D conv blocks.
+
+Functional equivalents of the reference's stp3/layers/temporal.py
+(SpatialGRU :11-57, Dual_GRU :59-160, BiGRU :162-249, CausalConv3d
+:252-273, Bottleneck3D :328-372, PyramidSpatioTemporalPooling :375-423,
+TemporalBlock :426-489).
+
+TPU-first deviations: all python time loops are ``lax.scan``/``nn.scan``
+(single trace, compiler-scheduled); tensors are time-major-in-batch
+channels-last: 2-D (B, H, W, C), sequences (B, T, H, W, C); 3-D convs run
+directly on (B, T, H, W, C) with left-only temporal padding for causality.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stp3_tpu.layers.convolutions import Bottleblock, ConvNeXtBlock, DeepLabHead, Norm, resize_bilinear
+
+
+class ConvGRUCell(nn.Module):
+    """Convolutional GRU cell (reference SpatialGRU.gru_cell, temporal.py:44-57)."""
+    hidden_size: int
+    gru_bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, state):
+        xs = jnp.concatenate([x, state], axis=-1)
+        update = nn.sigmoid(nn.Conv(self.hidden_size, (3, 3), padding='SAME')(xs) + self.gru_bias_init)
+        reset = nn.sigmoid(nn.Conv(self.hidden_size, (3, 3), padding='SAME')(xs) + self.gru_bias_init)
+        tilde = nn.Conv(self.hidden_size, (3, 3), padding='SAME')(
+            jnp.concatenate([x, (1.0 - reset) * state], axis=-1))
+        return (1.0 - update) * state + update * tilde
+
+
+class SpatialGRU(nn.Module):
+    """Scan a ConvGRU over (B, T, H, W, C); per-step 1x1 conv decoder
+    (reference temporal.py:11-57)."""
+    input_size: int
+    hidden_size: int
+    gru_bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, state: Optional[jnp.ndarray] = None):
+        b, t, h, w, _ = x.shape
+        if state is None:
+            state = jnp.zeros((b, h, w, self.hidden_size), x.dtype)
+        cell = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell')
+        decoder = nn.Conv(self.input_size, (1, 1), use_bias=False, name='decoder')
+
+        scan = nn.scan(
+            lambda mdl, carry, x_t: (mdl(x_t, carry),) * 2,
+            variable_broadcast='params', split_rngs={'params': False},
+            in_axes=1, out_axes=1)
+        _, states = scan(cell, state, x)
+        return decoder(states)
+
+
+class DualGRU(nn.Module):
+    """Dual-pathway future rollout (reference Dual_GRU, temporal.py:59-160).
+
+    Cell 1 is driven by the (fixed) latent sample; cell 2 rolls an
+    autoregressive state; a learned 2-way softmax "trusting gate" mixes them.
+    Warm-up passes the past states through cell 2 first.
+    """
+    input_size: int   # latent dim
+    hidden_size: int  # state channels
+    n_future: int
+    mixture: bool = True
+    gru_bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, state):
+        """x: (B, 1, H, W, latent); state: (B, n_present, H, W, C)."""
+        assert x.shape[-1] == self.input_size
+        n_present = state.shape[1]
+        cell1 = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell1')
+        cell2 = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell2')
+        decoder2 = nn.Conv(self.hidden_size, (3, 3), padding='SAME', name='decoder2')
+        trust = nn.Sequential([Bottleblock(self.hidden_size),
+                               nn.Conv(2, (1, 1), use_bias=False)], name='trusting_gate')
+
+        # warm-up: h <- cell2(state_t, h) over the past (reference :100-102)
+        h = state[:, 0]
+        for t in range(n_present - 1):
+            h = cell2(state[:, t], h)
+
+        rnn_state1 = state[:, -1]
+        rnn_state2 = state[:, -1]
+        x0 = x[:, 0]
+
+        def step(carry, _):
+            s1, s2, hh = carry
+            s1 = cell1(x0, s1)
+            hh = cell2(s2, hh)
+            s2 = decoder2(hh)
+            mix = jnp.concatenate([s1, s2], axis=-1)
+            gate = nn.softmax(trust(mix), axis=-1)
+            cur = s2 * gate[..., 0:1] + s1 * gate[..., 1:2]
+            if self.mixture:
+                s1 = cur
+                s2 = cur
+            return (s1, s2, hh), cur
+
+        # unrolled python loop keeps flax param-sharing simple; n_future <= 6
+        carry = (rnn_state1, rnn_state2, h)
+        outs = []
+        for _ in range(self.n_future):
+            carry, cur = step(carry, None)
+            outs.append(cur)
+        return jnp.stack(outs, axis=1)  # (B, n_future, H, W, C)
+
+
+class BiGRU(nn.Module):
+    """Bidirectional conv-GRU (reference temporal.py:162-249; defined but
+    unused in the reference forward path — kept for API parity)."""
+    in_channels: int
+    gru_bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, h, w, c = x.shape
+        cell1 = ConvGRUCell(self.in_channels, self.gru_bias_init, name='cell1')
+        cell2 = ConvGRUCell(self.in_channels, self.gru_bias_init, name='cell2')
+        dec1 = Bottleblock(self.in_channels, name='decoder1')
+        dec2 = Bottleblock(self.in_channels, name='decoder2')
+
+        s1, s2 = x[:, 0], x[:, -1]
+        f_states, b_states = [], []
+        for t in range(s):
+            s1 = cell1(x[:, t], s1)
+            s2 = cell2(x[:, s - t - 1], s2)
+            f_states.append(dec1(s1))
+            b_states.append(dec2(s2))
+        states = jnp.concatenate([jnp.stack(f_states, 1), jnp.stack(b_states[::-1], 1)], axis=-1)
+        flat = states.reshape(b * s, h, w, states.shape[-1])
+        flat = Bottleblock(self.in_channels)(flat)
+        flat = ConvNeXtBlock()(flat)
+        flat = ConvNeXtBlock()(flat)
+        return flat.reshape(b, s, h, w, self.in_channels)
+
+
+class CausalConv3d(nn.Module):
+    """3-D conv with left-only temporal padding, norm + relu
+    (reference temporal.py:252-273). Input (B, T, H, W, C)."""
+    out_channels: int
+    kernel_size: Tuple[int, int, int] = (2, 3, 3)
+    dilation: Tuple[int, int, int] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel_size
+        dt, dh, dw = self.dilation
+        tpad = (kt - 1) * dt
+        hpad = ((kh - 1) * dh) // 2
+        wpad = ((kw - 1) * dw) // 2
+        x = jnp.pad(x, ((0, 0), (tpad, 0), (hpad, hpad), (wpad, wpad), (0, 0)))
+        x = nn.Conv(self.out_channels, self.kernel_size, kernel_dilation=self.dilation,
+                    padding='VALID', use_bias=False)(x)
+        return nn.relu(Norm()(x))
+
+
+class Conv1x1x1NormActivated(nn.Module):
+    """1x1x1 3-D conv + norm + relu (reference temporal.py:315-325)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False)(x)
+        return nn.relu(Norm()(x))
+
+
+class Bottleneck3D(nn.Module):
+    """3-D bottleneck with causal conv and residual (reference temporal.py:328-372)."""
+    out_channels: Optional[int] = None
+    kernel_size: Tuple[int, int, int] = (2, 3, 3)
+    dilation: Tuple[int, int, int] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        h = Conv1x1x1NormActivated(in_ch // 2)(x)
+        h = CausalConv3d(in_ch // 2, self.kernel_size, self.dilation)(h)
+        h = Conv1x1x1NormActivated(out_ch)(h)
+        if out_ch != in_ch:
+            skip = nn.Conv(out_ch, (1, 1, 1), use_bias=False)(x)
+            skip = Norm()(skip)
+        else:
+            skip = x
+        return h + skip
+
+
+class PyramidSpatioTemporalPooling(nn.Module):
+    """Causal spatio-temporal average-pyramid pooling
+    (reference temporal.py:375-423). Input/out (B, T, H, W, C)."""
+    reduction_channels: int
+    pool_sizes: Sequence[Tuple[int, int, int]]
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        out = []
+        for pool_size in self.pool_sizes:
+            kt, kh, kw = pool_size
+            assert kt == 2, 'time kernel must be 2 (matches reference)'
+            # causal time pad of kt-1 on the left; average ignores padding
+            # (count_include_pad=False): implement by averaging pairs of
+            # spatially-pooled frames with a leading duplicate-free edge.
+            xp = nn.avg_pool(x.reshape(b * t, h, w, c), (kh, kw), strides=(kh, kw),
+                             padding='VALID' if (h % kh == 0 and w % kw == 0) else 'SAME')
+            hp, wp = xp.shape[1:3]
+            xp = xp.reshape(b, t, hp, wp, c)
+            # temporal average over (t-1, t); at t=0 only frame 0 contributes
+            prev = jnp.concatenate([xp[:, :1], xp[:, :-1]], axis=1)
+            first = jnp.zeros((b, t, 1, 1, 1), x.dtype).at[:, 0].set(1.0)
+            xt = jnp.where(first > 0, xp, (xp + prev) / 2.0)
+            xt = Conv1x1x1NormActivated(self.reduction_channels)(xt)
+            xt = resize_bilinear(xt.reshape(b * t, hp, wp, self.reduction_channels), (h, w))
+            out.append(xt.reshape(b, t, h, w, self.reduction_channels))
+        return jnp.concatenate(out, axis=-1)
+
+
+class TemporalBlock(nn.Module):
+    """Multi-path causal temporal block (reference temporal.py:426-489):
+    paths 2x3x3, 1x3x3, 1x1x1 (each preceded by 1x1x1 reduce), optional
+    pyramid pooling, 1x1x1 aggregation + residual."""
+    out_channels: Optional[int] = None
+    use_pyramid_pooling: bool = False
+    pool_sizes: Optional[Sequence[Tuple[int, int, int]]] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        half = in_ch // 2
+        out_ch = self.out_channels or in_ch
+
+        paths = []
+        for ks in [(2, 3, 3), (1, 3, 3)]:
+            h = Conv1x1x1NormActivated(half)(x)
+            h = CausalConv3d(half, ks)(h)
+            paths.append(h)
+        paths.append(Conv1x1x1NormActivated(half)(x))
+        h = jnp.concatenate(paths, axis=-1)
+
+        if self.use_pyramid_pooling:
+            assert self.pool_sizes is not None
+            pooled = PyramidSpatioTemporalPooling(in_ch // 3, self.pool_sizes)(x)
+            h = jnp.concatenate([h, pooled], axis=-1)
+
+        h = Conv1x1x1NormActivated(out_ch)(h)
+
+        if out_ch != in_ch:
+            skip = nn.Conv(out_ch, (1, 1, 1), use_bias=False)(x)
+            skip = Norm()(skip)
+        else:
+            skip = x
+        return skip + h

@@ -1,0 +1,248 @@
+"""Planner cost terms over the BEV grid — fully vectorized, jit-friendly.
+
+Mirrors reference stp3/cost.py: seven costs (learned cost volume, rule /
+off-drivable, safety, headway, lane-divider distance, comfort, progress)
+evaluated for every candidate trajectory at every future step; aggregated
+into a per-timestep sum (cost_fo) and a whole-trajectory sum (cost_fc).
+
+TPU-first rewrites:
+  * the per-batch python loops and fancy indexing become batched gathers
+    over (B, N, T) (reference cost.py:104-155);
+  * the lane-divider nearest-pixel search (reference cost.py:286-304,
+    torch.nonzero -> dynamic shapes) becomes a fixed-radius exact local
+    distance field: the penalty is zero beyond L=1 m anyway, so min-ing
+    over a (2R+1)^2 window of shifted masks is exact and static-shape.
+  * the ego-footprint cell offsets are precomputed host-side once
+    (reference does the same via skimage polygon, cost.py:68-81).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stp3_tpu.ops.geometry import calculate_birds_eye_view_parameters
+from stp3_tpu.utils.rasterize import polygon
+
+
+@lru_cache(maxsize=8)
+def ego_footprint_offsets(x_bound: Tuple, y_bound: Tuple, z_bound: Tuple,
+                          ego_w: float, ego_h: float, lambda_cells: int = 0) -> np.ndarray:
+    """Integer (row, col) cell offsets covered by the ego footprint polygon,
+    relative to the grid origin (reference cost.py:68-81 get_origin_points)."""
+    res, start, _ = calculate_birds_eye_view_parameters(list(x_bound), list(y_bound), list(z_bound))
+    dx, bx = res[:2], start[:2]
+    lam = lambda_cells * float(dx[0])
+    pts = np.array([
+        [-ego_h / 2.0 + 0.5 - lam, ego_w / 2.0 + lam],
+        [ego_h / 2.0 + 0.5 + lam, ego_w / 2.0 + lam],
+        [ego_h / 2.0 + 0.5 + lam, -ego_w / 2.0 - lam],
+        [-ego_h / 2.0 + 0.5 - lam, -ego_w / 2.0 - lam],
+    ])
+    pts = (pts - bx) / dx
+    pts[:, [0, 1]] = pts[:, [1, 0]]
+    rr, cc = polygon(pts[:, 1], pts[:, 0])
+    return np.stack([rr, cc], axis=-1).astype(np.int32)  # (K, 2)
+
+
+class CostFunction:
+    """Stateless, jit-friendly aggregate of the seven cost terms.
+
+    __call__(cost_volume, trajs, semantic_pred, lane_divider, drivable_area,
+    target_points) -> (cost_fc (B, N), cost_fo (B, N, T)); same contract as
+    reference Cost_Function.forward (cost.py:25-46). ``trajs`` here are raw
+    sampler outputs — the reference's leading ``trajs * [-1, 1]`` flip
+    (cost.py:34) is applied internally.
+    """
+
+    def __init__(self, cfg):
+        res, start, dim = calculate_birds_eye_view_parameters(
+            cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
+        self.dx = res[:2]
+        self.bx = start[:2]
+        self.bev_dimension = dim
+        self.W = cfg.EGO.WIDTH
+        self.H = cfg.EGO.HEIGHT
+        self.n_future = cfg.N_FUTURE_FRAMES
+        cf = cfg.COST_FUNCTION
+        self.f_safety = cf.SAFETY
+        self.f_lambda = cf.LAMBDA
+        self.f_headway = cf.HEADWAY
+        self.f_lrdivider = cf.LRDIVIDER
+        self.f_comfort = cf.COMFORT
+        self.f_progress = cf.PROGRESS
+        self.f_volume = cf.VOLUME
+        xb, yb, zb = tuple(cfg.LIFT.X_BOUND), tuple(cfg.LIFT.Y_BOUND), tuple(cfg.LIFT.Z_BOUND)
+        self._fp0 = jnp.asarray(ego_footprint_offsets(xb, yb, zb, self.W, self.H, 0))
+        lam_cells = int(self.f_lambda / float(self.dx[0]))
+        self._fp_lam = jnp.asarray(ego_footprint_offsets(xb, yb, zb, self.W, self.H, lam_cells))
+
+    # ---------------------------------------------------------------- utils
+    def _traj_cells(self, trajs, footprint):
+        """trajs (B,N,T,2) in the flipped frame -> footprint cell indices
+        (B,N,T,K,2), clamped (reference cost.py:83-102 get_points)."""
+        cells = trajs / self.dx                                  # (B,N,T,2)
+        cells = cells[..., ::-1]                                  # swap -> (row-ish, col-ish)
+        cells = cells[..., None, :] + footprint                  # (B,N,T,K,2)
+        rr = jnp.clip(cells[..., 0].astype(jnp.int32), 0, int(self.bev_dimension[0]) - 1)
+        cc = jnp.clip(cells[..., 1].astype(jnp.int32), 0, int(self.bev_dimension[1]) - 1)
+        return rr, cc
+
+    def _compute_area(self, semantic, trajs, footprint, ego_velocity=None):
+        """Sum of semantic occupancy under the ego footprint along the
+        trajectory (reference cost.py:104-123). semantic: (B,T,H,W)."""
+        rr, cc = self._traj_cells(trajs, footprint)              # (B,N,T,K)
+        t = jnp.arange(rr.shape[2])[None, None, :, None]
+        sub = semantic[
+            jnp.arange(semantic.shape[0])[:, None, None, None], t, rr, cc
+        ].sum(axis=-1)                                           # (B,N,T)
+        if ego_velocity is not None:
+            sub = sub * ego_velocity
+        return sub
+
+    def _discretize(self, trajs):
+        """(B,N,T,2) flipped-frame metres -> (row, col) cell indices
+        (reference cost.py:125-140)."""
+        xx, yy = trajs[..., 0], trajs[..., 1]
+        yi = jnp.clip(((yy - self.bx[0]) / self.dx[0]).astype(jnp.int32),
+                      0, int(self.bev_dimension[0]) - 1)
+        xi = jnp.clip(((xx - self.bx[1]) / self.dx[1]).astype(jnp.int32),
+                      0, int(self.bev_dimension[1]) - 1)
+        return yi, xi
+
+    def _evaluate(self, trajs, grid):
+        """Gather grid (B,T,H,W) at discretized traj points -> (B,N,T)
+        (reference cost.py:142-155)."""
+        yi, xi = self._discretize(trajs)
+        t = jnp.arange(trajs.shape[2])[None, None, :]
+        return grid[jnp.arange(grid.shape[0])[:, None, None], t, yi, xi]
+
+    @staticmethod
+    def _binary_from_logits(x):
+        """2-channel logits -> prob of class 1, zeroed below 0.5; or
+        pass-through single channel (reference cost.py:184-191 etc.).
+        x: (B, H, W, 1or2) channels-last."""
+        if x.shape[-1] == 2:
+            p = jax.nn.softmax(x, axis=-1)[..., 1]
+            return jnp.where(p < 0.5, 0.0, p)
+        return x[..., 0]
+
+    def _velocity(self, trajs):
+        """Stepwise speed (B,N,T) at 2 Hz (reference cost.py:216-221)."""
+        prev = jnp.concatenate([jnp.zeros_like(trajs[:, :, :1]), trajs[:, :, :-1]], axis=2)
+        return jnp.sqrt(((trajs - prev) ** 2).sum(-1)) / 0.5
+
+    # ---------------------------------------------------------------- terms
+    def cost_volume_term(self, trajs, cost_volume):
+        cv = jnp.clip(cost_volume, 0, 1000)
+        return self._evaluate(trajs, cv) * self.f_volume
+
+    def rule_term(self, trajs, drivable_area):
+        da = self._binary_from_logits(drivable_area)
+        dangerous = jnp.logical_not(da.astype(bool)).astype(jnp.float32)
+        t = trajs.shape[2]
+        dangerous = jnp.broadcast_to(dangerous[:, None], (dangerous.shape[0], t) + dangerous.shape[1:])
+        return self._compute_area(dangerous, trajs, self._fp0) * 5.0
+
+    def safety_term(self, trajs, semantic_pred):
+        vel = self._velocity(trajs)
+        sub1 = self._compute_area(semantic_pred, trajs, self._fp0)
+        sub2 = self._compute_area(semantic_pred, trajs, self._fp_lam, vel)
+        return (sub1 + sub2) * self.f_safety
+
+    def headway_term(self, trajs, semantic_pred, drivable_area):
+        da = self._binary_from_logits(drivable_area)
+        sem = semantic_pred * da[:, None]
+        shifted = trajs.at[..., 1].add(10.0)  # 10 m longitudinal keep-out
+        return self._compute_area(sem, shifted, self._fp0) * self.f_headway
+
+    def lr_divider_term(self, trajs, lane_divider, radius_cells: int = 4):
+        """Distance penalty < L=1 m to the nearest lane-divider pixel.
+
+        Exact within ``radius_cells`` (penalty is identically zero beyond
+        L); replaces the reference's dynamic nonzero+min (cost.py:286-304).
+        """
+        ld = self._binary_from_logits(lane_divider)
+        mask = (ld > 0).astype(jnp.float32)                       # (B,H,W)
+        L = 1.0
+        big = 1e6
+        dists = []
+        dxr = float(self.dx[1])  # row offsets scale by reversed(dx): rows * dx[1]
+        dxc = float(self.dx[0])
+        for di in range(-radius_cells, radius_cells + 1):
+            for dj in range(-radius_cells, radius_cells + 1):
+                d = np.sqrt((di * dxr) ** 2 + (dj * dxc) ** 2)
+                if d - 1e-6 > L:
+                    continue
+                shifted = jnp.roll(mask, (-di, -dj), axis=(1, 2))
+                # zero out wrap-around
+                if di > 0:
+                    shifted = shifted.at[:, -di:, :].set(0)
+                elif di < 0:
+                    shifted = shifted.at[:, :-di, :].set(0)
+                if dj > 0:
+                    shifted = shifted.at[:, :, -dj:].set(0)
+                elif dj < 0:
+                    shifted = shifted.at[:, :, :-dj].set(0)
+                dists.append(jnp.where(shifted > 0, d, big))
+        dist_field = jnp.min(jnp.stack(dists, 0), axis=0)        # (B,H,W)
+        has_any = mask.sum(axis=(1, 2)) > 0
+
+        yi, xi = self._discretize(trajs)
+        d_at = dist_field[jnp.arange(trajs.shape[0])[:, None, None], yi, xi]  # (B,N,T)
+        pen = jnp.where(d_at <= L, (L - d_at) ** 2, 0.0)
+        pen = jnp.where(has_any[:, None, None], pen, 0.0)
+        return pen * self.f_lrdivider
+
+    def comfort_term(self, trajs):
+        """Lateral/longitudinal accel + jerk thresholds (reference cost.py:307-370)."""
+        prev = jnp.concatenate([jnp.zeros_like(trajs[:, :, :1]), trajs[:, :, :-1]], axis=2)
+        vel_xy = (trajs - prev) / 0.5                             # (B,N,T,2)
+        lat_v, lon_v = vel_xy[..., 0], vel_xy[..., 1]
+
+        def accel(v):
+            a = (v[:, :, 1:] - v[:, :, :-1]) / 0.5
+            return jnp.concatenate([jnp.zeros_like(v[:, :, :1]), a], axis=2)
+
+        lat_a = jnp.abs(accel(lat_v)).max(axis=-1)
+        lon_a = jnp.abs(accel(lon_v)).max(axis=-1)
+
+        speed = self._velocity(trajs)
+        acc = accel(speed)
+        jerk = jnp.concatenate([jnp.zeros_like(acc[:, :, :1]),
+                                (acc[:, :, 1:] - acc[:, :, :-1]) / 0.5], axis=2)
+        # reference zeroes index 1 too (loop starts at 2)
+        jerk = jerk.at[:, :, 1].set(0.0) if jerk.shape[2] > 1 else jerk
+        jerk = jnp.abs(jerk).max(axis=-1)
+
+        sub = jnp.clip(lat_a - 3.0, 0, 30) ** 2
+        sub += jnp.clip(lon_a - 3.0, 0, 30) ** 2
+        sub += jnp.clip(jerk - 1.0, 0, 20) ** 2
+        return sub * self.f_comfort
+
+    def progress_term(self, trajs, target_points):
+        sub1 = trajs[..., 1].max(axis=-1)                         # (B,N)
+        has_target = target_points.sum() >= 0.5
+        end = trajs[:, :, -1]                                     # (B,N,2)
+        sub2 = ((end - target_points[:, None, :]) ** 2).sum(-1)
+        sub2 = jnp.where(has_target, sub2, 0.0)
+        return (sub2 - sub1) * self.f_progress
+
+    # ------------------------------------------------------------ aggregate
+    def __call__(self, cost_volume, trajs, semantic_pred, lane_divider,
+                 drivable_area, target_points):
+        trajs = trajs * jnp.array([-1.0, 1.0], dtype=trajs.dtype)
+        safety = jnp.clip(self.safety_term(trajs, semantic_pred), 0, 100)
+        headway = jnp.clip(self.headway_term(trajs, semantic_pred, drivable_area), 0, 100)
+        lrdiv = jnp.clip(self.lr_divider_term(trajs, lane_divider), 0, 100)
+        comfort = jnp.clip(self.comfort_term(trajs), 0, 100)
+        progress = jnp.clip(self.progress_term(trajs, target_points), -100, 100)
+        rule = jnp.clip(self.rule_term(trajs, drivable_area), 0, 100)
+        volume = jnp.clip(self.cost_volume_term(trajs, cost_volume), 0, 100)
+
+        cost_fo = safety + headway + lrdiv + volume + rule        # (B,N,T)
+        cost_fc = comfort + progress                              # (B,N)
+        return cost_fc, cost_fo

@@ -1,0 +1,148 @@
+"""BEV voxel pooling ("splat") — the lift-splat scatter, TPU-first.
+
+The reference implements this with python loops over (batch, time), a sort,
+and a custom-autograd cumsum trick (stp3/models/stp3.py:226-301,
+stp3/utils/geometry.py:299-330 ``VoxelsSumming``). Here the whole thing is
+one vectorized, differentiable pipeline:
+
+  1. voxelize ego-frame points to integer cell ids (invalid -> overflow id)
+  2. sort points by cell id (XLA radix sort)
+  3. ``jax.ops.segment_sum`` with ``indices_are_sorted=True``
+
+Autodiff falls out for free (the backward is a gather), replacing the
+hand-written ``VoxelsSumming.backward``. The temporal ego-motion pre-warp
+(stp3.py:269-277) is applied as one batched matmul using the cumulative
+pose chain, and the exponential temporal discount accumulate
+(stp3.py:282-299) is a ``lax.scan`` carrying the BEV grid.
+
+A fused Pallas kernel (sorted segment matmul-scatter over a VMEM-resident
+accumulator) lives in stp3_tpu.ops.pallas.bev_pool_kernel and is selected
+with method='pallas'.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stp3_tpu.ops.geometry import cumulative_prewarp_transforms
+
+
+def voxelize_coords(points: jnp.ndarray, bev_resolution, bev_start_position,
+                    bev_dimension) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ego-frame 3-D points -> integer cell coords + validity mask.
+
+    index = (p - (start - res/2)) / res, truncated toward zero like the
+    reference's ``.long()`` cast (stp3.py:287-289).
+    """
+    res = jnp.asarray(bev_resolution, dtype=points.dtype)
+    start = jnp.asarray(bev_start_position, dtype=points.dtype)
+    dim = jnp.asarray(np.asarray(bev_dimension), dtype=jnp.int32)
+    coords_f = (points - (start - res / 2.0)) / res
+    coords = coords_f.astype(jnp.int32)  # trunc-toward-zero, like torch .long()
+    valid = jnp.all((coords >= 0) & (coords < dim), axis=-1)
+    return coords, valid
+
+
+def _ranks(coords: jnp.ndarray, valid: jnp.ndarray, bev_dimension) -> jnp.ndarray:
+    """Flatten (x, y, z) cell coords into a scalar rank; invalid -> ncells."""
+    nx, ny, nz = (int(v) for v in np.asarray(bev_dimension))
+    ncells = nx * ny * nz
+    r = coords[..., 0] * (ny * nz) + coords[..., 1] * nz + coords[..., 2]
+    return jnp.where(valid, r, ncells)
+
+
+def bev_pool(feats: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
+             bev_dimension, method: str = 'sort') -> jnp.ndarray:
+    """Scatter-add point features into the BEV grid.
+
+    feats: (P, C); coords: (P, 3) int; valid: (P,) bool.
+    Returns (nx, ny, nz*C) — z folded into channels (nz is 1 in all
+    reference configs; LIFT.Z_BOUND [-10, 10, 20]).
+    """
+    nx, ny, nz = (int(v) for v in np.asarray(bev_dimension))
+    ncells = nx * ny * nz
+    p, c = feats.shape
+    ranks = _ranks(coords, valid, bev_dimension)
+    feats = jnp.where(valid[:, None], feats, 0.0)
+
+    if method == 'sort':
+        order = jnp.argsort(ranks)
+        out = jax.ops.segment_sum(feats[order], ranks[order], num_segments=ncells + 1,
+                                  indices_are_sorted=True)
+    elif method == 'scatter':
+        out = jax.ops.segment_sum(feats, ranks, num_segments=ncells + 1)
+    elif method == 'pallas':
+        from stp3_tpu.ops.pallas.bev_pool_kernel import bev_pool_pallas
+        order = jnp.argsort(ranks)
+        out = bev_pool_pallas(feats[order], ranks[order], ncells + 1)
+    else:
+        raise ValueError(f'Unknown bev_pool method {method}')
+    out = out[:ncells]  # drop overflow segment
+    return out.reshape(nx, ny, nz * c)
+
+
+def bev_pool_dense_reference(feats: np.ndarray, coords: np.ndarray, valid: np.ndarray,
+                             bev_dimension) -> np.ndarray:
+    """Numpy scatter-add oracle for tests."""
+    nx, ny, nz = (int(v) for v in np.asarray(bev_dimension))
+    c = feats.shape[-1]
+    out = np.zeros((nx, ny, nz, c), dtype=np.float64)
+    for p in range(feats.shape[0]):
+        if valid[p]:
+            x, y, z = coords[p]
+            out[x, y, z] += feats[p]
+    return out.reshape(nx, ny, nz * c).astype(feats.dtype)
+
+
+@partial(jax.jit, static_argnames=('bev_dimension_t', 'discount', 'method'))
+def _project_impl(feats, geometry, future_egomotion, bev_resolution, bev_start_position,
+                  bev_dimension_t, discount, method):
+    b, s = feats.shape[:2]
+    nx, ny, nz = bev_dimension_t
+    c = feats.shape[-1]
+
+    # 1. ego-motion pre-warp of past-frame geometry into the present frame
+    tr = cumulative_prewarp_transforms(future_egomotion, s)  # (B,S,4,4)
+    rot = tr[..., :3, :3]
+    t3 = tr[..., :3, 3]
+    geom = (jnp.einsum('bsij,bsndhwj->bsndhwi', rot, geometry, precision='highest')
+            + t3[:, :, None, None, None, None, :])
+
+    # 2. voxelize + per-(b,s) splat
+    coords, valid = voxelize_coords(geom, bev_resolution, bev_start_position, bev_dimension_t)
+    flat_feats = feats.reshape(b, s, -1, c)
+    flat_coords = coords.reshape(b, s, -1, 3)
+    flat_valid = valid.reshape(b, s, -1)
+
+    pool = partial(bev_pool, bev_dimension=np.asarray(bev_dimension_t), method=method)
+    splat = jax.vmap(jax.vmap(pool))(flat_feats, flat_coords, flat_valid)  # (B,S,nx,ny,nz*C)
+
+    # 3. discounted temporal accumulate: out_t = discount * out_{t-1} + splat_t
+    def step(carry, x_t):
+        nxt = carry * discount + x_t
+        return nxt, nxt
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(splat[:, 0]), jnp.swapaxes(splat, 0, 1))
+    return jnp.swapaxes(out, 0, 1)  # (B,S,nx,ny,nz*C)
+
+
+def project_to_birds_eye_view(feats: jnp.ndarray, geometry: jnp.ndarray,
+                              future_egomotion: jnp.ndarray, bev_resolution,
+                              bev_start_position, bev_dimension,
+                              discount: float = 0.5, method: str = 'sort') -> jnp.ndarray:
+    """Full splat: pre-warp + voxel pooling + discounted temporal accumulate.
+
+    feats: (B, S, N, D, Hf, Wf, C) lifted camera features
+    geometry: (B, S, N, D, Hf, Wf, 3) ego-frame points
+    future_egomotion: (B, S, 6)
+    Returns (B, S, nx, ny, nz*C). Matches reference
+    ``STP3.projection_to_birds_eye_view`` (stp3.py:226-301).
+    """
+    bev_dim_t = tuple(int(v) for v in np.asarray(bev_dimension))
+    return _project_impl(feats, geometry, future_egomotion,
+                         jnp.asarray(bev_resolution), jnp.asarray(bev_start_position),
+                         bev_dim_t, float(discount), method)
