@@ -51,6 +51,13 @@ class CfgNode(dict):
             if isinstance(v, (dict, CfgNode)) and isinstance(self.get(k), CfgNode):
                 self[k].merge_from_other_cfg(CfgNode(dict(v)))
             else:
+                if isinstance(v, str) and v[:1] in '([':
+                    # yacs-style tuple/list literals in YAML, e.g.
+                    # "FINAL_DIM: (256, 256)" (reference configs/carla/*.yml)
+                    try:
+                        v = ast.literal_eval(v)
+                    except (ValueError, SyntaxError):
+                        pass
                 self[k] = copy.deepcopy(v)
 
     def merge_from_file(self, path: str) -> None:

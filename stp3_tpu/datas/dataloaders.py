@@ -1,0 +1,39 @@
+"""Dataloader factory (reference stp3/datas/dataloaders.py:8-42).
+
+Dataset selection by ``cfg.DATASET.NAME``:
+  * 'synthetic' — procedural scenes, no external data (always available);
+  * 'nuscenes'  — requires the nuscenes-devkit + dataroot;
+  * 'carla'     — requires a CARLA data dump.
+Real datasets are gated on their SDKs being importable so the framework
+runs end-to-end without them.
+"""
+from __future__ import annotations
+
+from stp3_tpu.datas.synthetic import NumpyLoader, SyntheticDataset
+
+
+def prepare_dataloaders(cfg, return_dataset: bool = False):
+    name = cfg.DATASET.NAME
+    if name == 'synthetic':
+        n_train = 10 if cfg.DATASET.VERSION == 'mini' else 64
+        traindata = SyntheticDataset(cfg, n_samples=n_train, seed=0)
+        valdata = SyntheticDataset(cfg, n_samples=max(4, n_train // 4), seed=1)
+    elif name == 'nuscenes':
+        from stp3_tpu.datas.nuscenes_data import FuturePredictionDataset, make_nusc
+        nusc = make_nusc(cfg)
+        traindata = FuturePredictionDataset(nusc, 0, cfg)
+        valdata = FuturePredictionDataset(nusc, 1, cfg)
+        if cfg.DATASET.VERSION == 'mini':
+            traindata.indices = traindata.indices[:10]
+    elif name == 'carla':
+        from stp3_tpu.datas.carla_data import CarlaDataset
+        traindata = CarlaDataset(cfg.DATASET.DATAROOT, True, cfg)
+        valdata = CarlaDataset(cfg.DATASET.DATAROOT, False, cfg)
+    else:
+        raise NotImplementedError(name)
+
+    trainloader = NumpyLoader(traindata, cfg.BATCHSIZE, shuffle=True, drop_last=True)
+    valloader = NumpyLoader(valdata, cfg.BATCHSIZE, shuffle=False, drop_last=False)
+    if return_dataset:
+        return trainloader, valloader, traindata, valdata
+    return trainloader, valloader

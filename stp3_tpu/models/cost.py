@@ -17,6 +17,7 @@ TPU-first rewrites:
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache
 from typing import Tuple
 
@@ -26,6 +27,36 @@ import numpy as np
 
 from stp3_tpu.ops.geometry import calculate_birds_eye_view_parameters
 from stp3_tpu.utils.rasterize import polygon
+
+
+@dataclasses.dataclass(frozen=True)
+class CostConfig:
+    """Hashable subset of the config the cost terms need (usable as a flax
+    module field; mirrors reference Cost_Function.__init__ cost.py:12-23)."""
+    x_bound: Tuple[float, float, float]
+    y_bound: Tuple[float, float, float]
+    z_bound: Tuple[float, float, float]
+    ego_width: float
+    ego_height: float
+    n_future: int
+    safety: float
+    lambda_: float
+    headway: float
+    lrdivider: float
+    comfort: float
+    progress: float
+    volume: float
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "CostConfig":
+        cf = cfg.COST_FUNCTION
+        return cls(
+            x_bound=tuple(cfg.LIFT.X_BOUND), y_bound=tuple(cfg.LIFT.Y_BOUND),
+            z_bound=tuple(cfg.LIFT.Z_BOUND), ego_width=cfg.EGO.WIDTH,
+            ego_height=cfg.EGO.HEIGHT, n_future=cfg.N_FUTURE_FRAMES,
+            safety=cf.SAFETY, lambda_=cf.LAMBDA, headway=cf.HEADWAY,
+            lrdivider=cf.LRDIVIDER, comfort=cf.COMFORT, progress=cf.PROGRESS,
+            volume=cf.VOLUME)
 
 
 @lru_cache(maxsize=8)
@@ -58,27 +89,30 @@ class CostFunction:
     (cost.py:34) is applied internally.
     """
 
-    def __init__(self, cfg):
+    def __init__(self, cc: CostConfig):
         res, start, dim = calculate_birds_eye_view_parameters(
-            cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
+            list(cc.x_bound), list(cc.y_bound), list(cc.z_bound))
         self.dx = res[:2]
         self.bx = start[:2]
         self.bev_dimension = dim
-        self.W = cfg.EGO.WIDTH
-        self.H = cfg.EGO.HEIGHT
-        self.n_future = cfg.N_FUTURE_FRAMES
-        cf = cfg.COST_FUNCTION
-        self.f_safety = cf.SAFETY
-        self.f_lambda = cf.LAMBDA
-        self.f_headway = cf.HEADWAY
-        self.f_lrdivider = cf.LRDIVIDER
-        self.f_comfort = cf.COMFORT
-        self.f_progress = cf.PROGRESS
-        self.f_volume = cf.VOLUME
-        xb, yb, zb = tuple(cfg.LIFT.X_BOUND), tuple(cfg.LIFT.Y_BOUND), tuple(cfg.LIFT.Z_BOUND)
+        self.W = cc.ego_width
+        self.H = cc.ego_height
+        self.n_future = cc.n_future
+        self.f_safety = cc.safety
+        self.f_lambda = cc.lambda_
+        self.f_headway = cc.headway
+        self.f_lrdivider = cc.lrdivider
+        self.f_comfort = cc.comfort
+        self.f_progress = cc.progress
+        self.f_volume = cc.volume
+        xb, yb, zb = cc.x_bound, cc.y_bound, cc.z_bound
         self._fp0 = jnp.asarray(ego_footprint_offsets(xb, yb, zb, self.W, self.H, 0))
         lam_cells = int(self.f_lambda / float(self.dx[0]))
         self._fp_lam = jnp.asarray(ego_footprint_offsets(xb, yb, zb, self.W, self.H, lam_cells))
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "CostFunction":
+        return cls(CostConfig.from_cfg(cfg))
 
     # ---------------------------------------------------------------- utils
     def _traj_cells(self, trajs, footprint):

@@ -1,0 +1,381 @@
+"""STP3: the end-to-end driving model (perception -> prediction -> planning).
+
+Mirrors reference stp3/models/stp3.py:16-398 with a TPU-first dataflow:
+  * channels-last (NHWC) everywhere;
+  * the per-(batch,time) python splat loops (reference stp3.py:226-301)
+    are the vectorized ops in stp3_tpu.ops.bev_pool;
+  * latent sampling threads explicit jax PRNG keys (flax rng collection
+    'sample') instead of global torch RNG (reference stp3.py:339);
+  * the model is a flax module with two entry methods sharing one param
+    tree: ``__call__`` (perception/prediction, reference forward
+    stp3.py:132-184) and ``plan`` (reference Planning invoked from the
+    trainer, trainer.py:180-189); ``init_full`` traces both for init.
+
+Uncertainty log-variance weights (one per task; reference trainer.py:42-97
+attaches them to the model) live here as scalar params so the whole
+trainable state is a single tree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from stp3_tpu.models.cost import CostConfig
+from stp3_tpu.models.decoder import Decoder
+from stp3_tpu.models.distributions import DistributionModule
+from stp3_tpu.models.encoder import Encoder
+from stp3_tpu.models.future_prediction import FuturePrediction
+from stp3_tpu.models.planning_model import Planning
+from stp3_tpu.models.temporal_model import TemporalModel, TemporalModelIdentity
+from stp3_tpu.ops.bev_pool import project_to_birds_eye_view
+from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
+                                   create_frustum, get_geometry)
+
+
+@dataclasses.dataclass(frozen=True)
+class STP3Config:
+    """Hashable model config (the subset of the cfg tree the model reads)."""
+    # grid / lift
+    x_bound: Tuple[float, float, float] = (-50.0, 50.0, 0.5)
+    y_bound: Tuple[float, float, float] = (-50.0, 50.0, 0.5)
+    z_bound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    d_bound: Tuple[float, float, float] = (2.0, 50.0, 1.0)
+    final_dim: Tuple[int, int] = (224, 480)
+    discount: float = 0.5
+    use_depth_distribution: bool = True
+    # encoder
+    encoder_name: str = 'efficientnet-b4'
+    encoder_downsample: int = 8
+    encoder_out_channels: int = 64
+    # time
+    receptive_field: int = 3
+    n_future: int = 4
+    # temporal model
+    temporal_name: str = 'temporal_block'
+    start_out_channels: int = 64
+    extra_in_channels: int = 0
+    inbetween_layers: int = 0
+    pyramid_pooling: bool = True
+    input_egopose: bool = True
+    # distribution
+    probabilistic: bool = True
+    prob_method: str = 'GAUSSIAN'
+    latent_dim: int = 32
+    min_log_sigma: float = -5.0
+    max_log_sigma: float = 5.0
+    # future prediction
+    n_gru_blocks: int = 2
+    n_res_layers: int = 1
+    mixture: bool = True
+    # heads
+    n_classes: int = 2
+    n_hdmap: int = 2
+    predict_pedestrian: bool = True
+    perceive_hdmap: bool = True
+    predict_instance: bool = True
+    predict_future_flow: bool = True
+    planning_enabled: bool = True
+    # planning
+    sample_num: int = 600
+    gru_state_size: int = 256
+    cost: CostConfig = dataclasses.field(
+        default_factory=lambda: CostConfig(
+            x_bound=(-50.0, 50.0, 0.5), y_bound=(-50.0, 50.0, 0.5),
+            z_bound=(-10.0, 10.0, 20.0), ego_width=1.85, ego_height=4.084,
+            n_future=4, safety=0.1, lambda_=1.0, headway=1.0, lrdivider=10.0,
+            comfort=0.1, progress=0.5, volume=100.0))
+    # depth supervision
+    gt_depth: bool = False
+    cam_front_index: int = 1
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "STP3Config":
+        return cls(
+            x_bound=tuple(cfg.LIFT.X_BOUND), y_bound=tuple(cfg.LIFT.Y_BOUND),
+            z_bound=tuple(cfg.LIFT.Z_BOUND), d_bound=tuple(cfg.LIFT.D_BOUND),
+            final_dim=tuple(cfg.IMAGE.FINAL_DIM), discount=cfg.LIFT.DISCOUNT,
+            use_depth_distribution=cfg.MODEL.ENCODER.USE_DEPTH_DISTRIBUTION,
+            encoder_name=cfg.MODEL.ENCODER.NAME,
+            encoder_downsample=cfg.MODEL.ENCODER.DOWNSAMPLE,
+            encoder_out_channels=cfg.MODEL.ENCODER.OUT_CHANNELS,
+            receptive_field=cfg.TIME_RECEPTIVE_FIELD,
+            n_future=cfg.N_FUTURE_FRAMES,
+            temporal_name=cfg.MODEL.TEMPORAL_MODEL.NAME,
+            start_out_channels=cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS,
+            extra_in_channels=cfg.MODEL.TEMPORAL_MODEL.EXTRA_IN_CHANNELS,
+            inbetween_layers=cfg.MODEL.TEMPORAL_MODEL.INBETWEEN_LAYERS,
+            pyramid_pooling=cfg.MODEL.TEMPORAL_MODEL.PYRAMID_POOLING,
+            input_egopose=cfg.MODEL.TEMPORAL_MODEL.INPUT_EGOPOSE,
+            probabilistic=cfg.PROBABILISTIC.ENABLED,
+            prob_method=cfg.PROBABILISTIC.METHOD,
+            latent_dim=cfg.MODEL.DISTRIBUTION.LATENT_DIM,
+            min_log_sigma=cfg.MODEL.DISTRIBUTION.MIN_LOG_SIGMA,
+            max_log_sigma=cfg.MODEL.DISTRIBUTION.MAX_LOG_SIGMA,
+            n_gru_blocks=cfg.MODEL.FUTURE_PRED.N_GRU_BLOCKS,
+            n_res_layers=cfg.MODEL.FUTURE_PRED.N_RES_LAYERS,
+            mixture=cfg.MODEL.FUTURE_PRED.MIXTURE,
+            n_classes=len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS),
+            n_hdmap=len(cfg.SEMANTIC_SEG.HDMAP.ELEMENTS),
+            predict_pedestrian=cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED,
+            perceive_hdmap=cfg.SEMANTIC_SEG.HDMAP.ENABLED,
+            predict_instance=cfg.INSTANCE_SEG.ENABLED,
+            predict_future_flow=cfg.INSTANCE_FLOW.ENABLED,
+            planning_enabled=cfg.PLANNING.ENABLED,
+            sample_num=cfg.PLANNING.SAMPLE_NUM,
+            gru_state_size=cfg.PLANNING.GRU_STATE_SIZE,
+            cost=CostConfig.from_cfg(cfg),
+            gt_depth=cfg.LIFT.GT_DEPTH,
+        )
+
+    @property
+    def depth_channels(self) -> int:
+        return int((self.d_bound[1] - self.d_bound[0]) / self.d_bound[2])
+
+    @property
+    def bev_size(self) -> Tuple[int, int]:
+        _, _, dim = calculate_birds_eye_view_parameters(
+            list(self.x_bound), list(self.y_bound), list(self.z_bound))
+        return int(dim[0]), int(dim[1])
+
+    @property
+    def spatial_extent(self) -> Tuple[float, float]:
+        return (self.x_bound[1], self.y_bound[1])
+
+    @property
+    def temporal_in_channels(self) -> int:
+        return self.encoder_out_channels + (6 if self.input_egopose else 0)
+
+    @property
+    def future_pred_in_channels(self) -> int:
+        if self.temporal_name == 'identity':
+            return self.temporal_in_channels
+        return TemporalModel.out_channels(
+            self.start_out_channels, self.receptive_field, self.extra_in_channels)
+
+
+class STP3(nn.Module):
+    cfg: STP3Config
+
+    def setup(self):
+        c = self.cfg
+        self.bev_resolution, self.bev_start_position, self.bev_dimension = (
+            calculate_birds_eye_view_parameters(
+                list(c.x_bound), list(c.y_bound), list(c.z_bound)))
+        self.frustum = create_frustum(c.final_dim, c.encoder_downsample, c.d_bound)
+
+        self.encoder = Encoder(C=c.encoder_out_channels, D=c.depth_channels,
+                               name_backbone=c.encoder_name,
+                               downsample=c.encoder_downsample,
+                               use_depth_distribution=c.use_depth_distribution)
+
+        if c.temporal_name == 'identity':
+            assert c.receptive_field == 1 or True
+            self.temporal_model = TemporalModelIdentity(c.receptive_field)
+        elif c.temporal_name == 'temporal_block':
+            self.temporal_model = TemporalModel(
+                receptive_field=c.receptive_field, input_shape=c.bev_size,
+                start_out_channels=c.start_out_channels,
+                extra_in_channels=c.extra_in_channels,
+                inbetween_layers=c.inbetween_layers,
+                use_pyramid_pooling=c.pyramid_pooling)
+        else:
+            raise NotImplementedError(f'Temporal module {c.temporal_name}')
+
+        if c.n_future > 0:
+            if c.probabilistic:
+                self.present_distribution = DistributionModule(
+                    latent_dim=c.latent_dim, method=c.prob_method)
+            self.future_prediction = FuturePrediction(
+                in_channels=c.future_pred_in_channels, latent_dim=c.latent_dim,
+                n_future=c.n_future, mixture=c.mixture,
+                n_gru_blocks=c.n_gru_blocks, n_res_layers=c.n_res_layers)
+
+        self.decoder = Decoder(
+            n_classes=c.n_classes, n_present=c.receptive_field,
+            n_hdmap=c.n_hdmap, predict_pedestrian=c.predict_pedestrian,
+            perceive_hdmap=c.perceive_hdmap, predict_instance=c.predict_instance,
+            predict_future_flow=c.predict_future_flow, planning=c.planning_enabled)
+
+        if c.planning_enabled:
+            self.planner = Planning(
+                cost_cfg=c.cost, sample_num=c.sample_num,
+                feature_channel=c.encoder_out_channels,
+                gru_state_size=c.gru_state_size)
+
+        # homoscedastic uncertainty log-variances (reference trainer.py:42-97)
+        zeros = nn.initializers.zeros
+        self.segmentation_weight = self.param('segmentation_weight', zeros, ())
+        if c.predict_pedestrian:
+            self.pedestrian_weight = self.param('pedestrian_weight', zeros, ())
+        if c.perceive_hdmap:
+            self.hdmap_weight = self.param('hdmap_weight', zeros, ())
+        if c.gt_depth:
+            self.depths_weight = self.param('depths_weight', zeros, ())
+        if c.predict_instance:
+            self.centerness_weight = self.param('centerness_weight', zeros, ())
+            self.offset_weight = self.param('offset_weight', zeros, ())
+        if c.predict_future_flow:
+            self.flow_weight = self.param('flow_weight', zeros, ())
+        if c.planning_enabled:
+            self.planning_weight = self.param('planning_weight', zeros, ())
+
+    # ------------------------------------------------------------ lift path
+    def encoder_forward(self, x, *, train: bool):
+        """x: (BS, N, H, W, 3) -> lifted (BS, N, D, Hf, Wf, C), depth logits
+        (BS, N, Hf, Wf, D), cam_front (BS, Hf, Wf, C) or None
+        (reference stp3.py:203-224)."""
+        bs, n = x.shape[:2]
+        flat = x.reshape(bs * n, *x.shape[2:])
+        feat, depth = self.encoder(flat, train=train)
+        feat = feat.reshape(bs, n, *feat.shape[1:])             # (BS,N,Hf,Wf,C)
+        cam_front = feat[:, self.cfg.cam_front_index] if self.cfg.planning_enabled else None
+
+        if self.cfg.use_depth_distribution:
+            depth = depth.reshape(bs, n, *depth.shape[1:])      # (BS,N,Hf,Wf,D)
+            depth_prob = jax.nn.softmax(depth, axis=-1)
+            # outer product depth x context: (BS,N,D,Hf,Wf,C)
+            lifted = (jnp.moveaxis(depth_prob, -1, 2)[..., None]
+                      * feat[:, :, None])
+        else:
+            d = self.cfg.depth_channels
+            lifted = jnp.broadcast_to(feat[:, :, None],
+                                      (bs, n, d) + feat.shape[2:])
+            depth = None
+        return lifted, depth, cam_front
+
+    def calculate_birds_eye_view_features(self, image, intrinsics, extrinsics,
+                                          future_egomotion, *, train: bool):
+        """(B,S,N,H,W,3) -> BEV features (B,S,nx,ny,C), depth logits,
+        cam_front (present frame) (reference stp3.py:303-318)."""
+        b, s, n = image.shape[:3]
+        geometry = get_geometry(jnp.asarray(self.frustum), intrinsics, extrinsics)
+        # (B,S,N,D,Hf,Wf,3)
+        lifted, depth, cam_front = self.encoder_forward(
+            image.reshape(b * s, *image.shape[2:]), train=train)
+        feats = lifted.reshape(b, s, *lifted.shape[1:])  # (B,S,N,D,Hf,Wf,C)
+        if depth is not None:
+            depth = depth.reshape(b, s, *depth.shape[1:])
+        if cam_front is not None:
+            cam_front = cam_front.reshape(b, s, *cam_front.shape[1:])[:, -1]
+
+        x = project_to_birds_eye_view(
+            feats, geometry, future_egomotion,
+            self.bev_resolution, self.bev_start_position, self.bev_dimension,
+            discount=self.cfg.discount)
+        return x, depth, cam_front
+
+    # --------------------------------------------------------- distribution
+    def distribution_forward(self, present_state, *, train: bool):
+        """present_state (B, 1, H, W, C) -> latent sample (B, 1, H, W, L)
+        (reference stp3.py:320-382)."""
+        c = self.cfg
+        b, s, h, w, _ = present_state.shape
+        assert s == 1
+        L = c.latent_dim
+
+        def sample_gaussian(mu_log_sigma, rng):
+            mu = mu_log_sigma[:, :, :L]
+            log_sigma = jnp.clip(mu_log_sigma[:, :, L:2 * L],
+                                 c.min_log_sigma, c.max_log_sigma)
+            if train:
+                noise = jax.random.normal(rng, (b, s, L))
+            else:
+                noise = jnp.zeros((b, s, L))
+            return mu + jnp.exp(log_sigma) * noise
+
+        if c.prob_method == 'GAUSSIAN':
+            out = self.present_distribution(present_state, train=train)
+            rng = self.make_rng('sample') if train else None
+            sample = sample_gaussian(out, rng)
+            sample = jnp.broadcast_to(sample[:, :, None, None, :], (b, s, h, w, L))
+        elif c.prob_method == 'MIXGAUSSIAN':
+            out = self.present_distribution(present_state, train=train)
+            coef = jax.nn.softmax(out[:, :, 6 * L:], axis=-1)
+            samples = []
+            for i in range(3):
+                rng = self.make_rng('sample') if train else None
+                samples.append(sample_gaussian(out[:, :, 2 * i * L:2 * (i + 1) * L], rng))
+            sample = sum(smp * coef[:, :, i:i + 1] for i, smp in enumerate(samples))
+            sample = jnp.broadcast_to(sample[:, :, None, None, :], (b, s, h, w, L))
+        elif c.prob_method == 'BERNOULLI':
+            log_prob = self.present_distribution(present_state, train=train)  # (B,H,W,L)
+            if train:
+                noise = jax.random.normal(self.make_rng('sample'), (b, h, w, L))
+            else:
+                noise = jnp.zeros((b, h, w, L))
+            sample = (jnp.exp(log_prob) + noise)[:, None]
+        else:
+            raise NotImplementedError(c.prob_method)
+        return sample
+
+    # -------------------------------------------------------------- forward
+    def __call__(self, image, intrinsics, extrinsics, future_egomotion, *,
+                 train: bool = False):
+        """image (B,S,N,H,W,3); intrinsics (B,S,N,3,3); extrinsics
+        (B,S,N,4,4); future_egomotion (B,S,6). Returns the reference output
+        dict (stp3.py:132-184), channels-last."""
+        c = self.cfg
+        rf = c.receptive_field
+        image = image[:, :rf]
+        intrinsics = intrinsics[:, :rf]
+        extrinsics = extrinsics[:, :rf]
+        ego = future_egomotion[:, :rf]
+
+        x, depth, cam_front = self.calculate_birds_eye_view_features(
+            image, intrinsics, extrinsics, ego, train=train)
+        output = {'depth_prediction': depth, 'cam_front': cam_front}
+
+        if c.input_egopose:
+            b, s = ego.shape[:2]
+            h, w = x.shape[2:4]
+            # at time 0 there is no egomotion: feed zeros, then shift
+            # (reference stp3.py:145-152)
+            ego_shift = jnp.concatenate(
+                [jnp.zeros_like(ego[:, :1]), ego[:, :rf - 1]], axis=1)
+            ego_spatial = jnp.broadcast_to(ego_shift[:, :, None, None, :],
+                                           (b, s, h, w, 6))
+            x = jnp.concatenate([x, ego_spatial.astype(x.dtype)], axis=-1)
+
+        states = self.temporal_model(x, train=train)
+
+        if c.n_future > 0:
+            present_state = states[:, -1:]
+            if c.probabilistic:
+                sample = self.distribution_forward(present_state, train=train)
+            else:
+                b, _, h, w, _ = present_state.shape
+                sample = jnp.zeros((b, 1, h, w, c.latent_dim), present_state.dtype)
+            states = self.future_prediction(sample, states, train=train)
+
+        bev_output = self.decoder(states, train=train)
+        output.update(bev_output)
+        return output
+
+    # ------------------------------------------------------------- planning
+    def plan(self, cam_front, trajs, gt_trajs, cost_volume, semantic_pred,
+             hd_map, commands, target_points, *, train: bool = False):
+        """Invoke the planner submodule (reference trainer.py:180-189 calls
+        self.model.planning(...))."""
+        return self.planner(cam_front, trajs, gt_trajs, cost_volume,
+                            semantic_pred, hd_map, commands, target_points,
+                            train=train)
+
+    def init_full(self, image, intrinsics, extrinsics, future_egomotion,
+                  trajs=None, gt_trajs=None, commands=None, target_points=None):
+        """Trace both forward and plan so one init builds the full tree."""
+        out = self(image, intrinsics, extrinsics, future_egomotion, train=False)
+        if self.cfg.planning_enabled and trajs is not None:
+            b = image.shape[0]
+            nf = self.cfg.n_future
+            h, w = self.cfg.bev_size
+            occ = jnp.zeros((b, nf, h, w))
+            cv = out['costvolume'][:, self.cfg.receptive_field:]
+            hd = out['hdmap'] if out['hdmap'] is not None else jnp.zeros((b, h, w, 4))
+            self.plan(out['cam_front'], trajs, gt_trajs, cv, occ, hd,
+                      commands, target_points, train=False)
+        return out

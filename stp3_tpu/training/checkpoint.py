@@ -1,0 +1,120 @@
+"""Checkpoint save/restore (Orbax) + curriculum warm-start helper.
+
+Replaces Lightning's .ckpt flow (reference train.py:21-42,
+evaluate.py:31): checkpoints hold {params, opt_state, step} plus the cfg
+dict for rehydration (the reference stores hparams in the ckpt and
+rebuilds the cfg from them, trainer.py:19-22).
+
+The 3-stage curriculum (perception -> prediction -> planning,
+reference README.md:40-53) warm-starts from the previous stage with all
+decoder-head params dropped (train.py:27: ``'decoder' not in k``,
+strict=False); ``filter_warm_start_params`` reproduces that.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, params, opt_state=None,
+                    cfg_dict: Optional[Dict[str, Any]] = None) -> str:
+    path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
+    ckptr = ocp.StandardCheckpointer()
+    payload = {'params': params}
+    if opt_state is not None:
+        payload['opt_state'] = opt_state
+    ckptr.save(os.path.join(path, 'state'), payload, force=True)
+    ckptr.wait_until_finished()
+    if cfg_dict is not None:
+        import json
+        with open(os.path.join(path, 'config.json'), 'w') as f:
+            json.dump(_jsonable(cfg_dict), f, indent=2)
+    # "last" pointer (reference ModelCheckpoint save_last, train.py:36-42)
+    with open(os.path.join(ckpt_dir, 'last'), 'w') as f:
+        f.write(path)
+    return path
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    last = os.path.join(ckpt_dir, 'last')
+    if os.path.exists(last):
+        with open(last) as f:
+            return f.read().strip()
+    return None
+
+
+def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
+    """Restore {params[, opt_state]}; ``target`` is a matching pytree of
+    abstract/concrete arrays (None -> restore as saved)."""
+    ckptr = ocp.StandardCheckpointer()
+    state_path = os.path.join(os.path.abspath(path), 'state')
+    if target is not None:
+        return ckptr.restore(state_path, target=target)
+    return ckptr.restore(state_path)
+
+
+def load_config_dict(path: str) -> Optional[Dict[str, Any]]:
+    import json
+    cfg_path = os.path.join(path, 'config.json')
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            return json.load(f)
+    return None
+
+
+def filter_warm_start_params(restored_params, init_params, exclude_substr: str = 'decoder'):
+    """Merge ``restored_params`` into ``init_params``, skipping any subtree
+    whose path contains ``exclude_substr`` and any leaf missing/mismatched
+    (the reference's strict=False + decoder filter, train.py:21-29)."""
+    flat_init = _flatten(init_params)
+    flat_restored = _flatten(restored_params)
+    merged = {}
+    n_loaded = 0
+    for key, val in flat_init.items():
+        src = flat_restored.get(key)
+        if (src is not None and exclude_substr not in key.lower()
+                and np.shape(src) == np.shape(val)):
+            merged[key] = src
+            n_loaded += 1
+        else:
+            merged[key] = val
+    return _unflatten(merged), n_loaded
+
+
+def _flatten(tree, prefix=''):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f'{prefix}{k}/'))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten(flat):
+    out: Dict[str, Any] = {}
+    for key, val in flat.items():
+        node = out
+        parts = key.split('/')
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out

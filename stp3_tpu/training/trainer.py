@@ -1,0 +1,317 @@
+"""Training runtime: functional train/val steps over a device mesh.
+
+Replaces the reference's Lightning ``TrainingModule`` (stp3/trainer.py:14-462)
+with a TPU-first design:
+
+  * one pure ``loss_fn(params, batch, rng)`` -> (total_loss, aux);
+  * ``train_step`` = jit(grad + clip-5 + Adam(+L2)) with the batch sharded
+    over a 1-D 'data' mesh — XLA emits the gradient psum over ICI (the
+    NCCL-DDP equivalent, SURVEY.md §2.5);
+  * label preparation (GT warped to the present frame, reference
+    trainer.py:254-360) is pure jnp and runs inside the same jit;
+  * homoscedastic uncertainty weighting reads the per-task log-variance
+    params that live on the model (reference trainer.py:42-97,125-191);
+  * planning trains against GT occupancy/HD-map with a detached front-cam
+    feature and cost volume semantics preserved (trainer.py:174-189).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from stp3_tpu.losses import (depth_loss, hdmap_loss, segmentation_loss,
+                             spatial_regression_loss)
+from stp3_tpu.metrics import IoUMetric, PanopticMetric, PlanningMetric
+from stp3_tpu.models.stp3 import STP3, STP3Config
+from stp3_tpu.ops.warp import (cumulative_warp_features,
+                               cumulative_warp_features_reverse)
+from stp3_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from stp3_tpu.utils.instance import predict_instance_segmentation_and_trajectories
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Grad-clip 5 -> torch-style Adam L2 weight decay -> Adam
+    (reference train.py:51 gradient_clip_val, trainer.py:456-462)."""
+    return optax.chain(
+        optax.clip_by_global_norm(float(cfg.GRAD_NORM_CLIP)),
+        optax.add_decayed_weights(float(cfg.OPTIMIZER.WEIGHT_DECAY)),
+        optax.adam(float(cfg.OPTIMIZER.LR)),
+    )
+
+
+class Trainer:
+    def __init__(self, cfg, mesh=None):
+        self.cfg = cfg
+        self.model_cfg = STP3Config.from_cfg(cfg)
+        self.model = STP3(self.model_cfg)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.PARALLEL.DP)
+        self.spatial_extent = (cfg.LIFT.X_BOUND[1], cfg.LIFT.Y_BOUND[1])
+        self.rf = cfg.TIME_RECEPTIVE_FIELD
+        self.tx = make_optimizer(cfg)
+
+        n_classes = len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS)
+        self.metric_vehicle_val = IoUMetric(n_classes)
+        self.metric_pedestrian_val = (IoUMetric(n_classes)
+                                      if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED else None)
+        self.metric_hdmap_val = ([IoUMetric(2, absent_score=1.0)
+                                  for _ in cfg.SEMANTIC_SEG.HDMAP.ELEMENTS]
+                                 if cfg.SEMANTIC_SEG.HDMAP.ENABLED else None)
+        self.metric_panoptic_val = (PanopticMetric(n_classes)
+                                    if cfg.INSTANCE_SEG.ENABLED else None)
+        self.metric_planning_val = (PlanningMetric(cfg, cfg.N_FUTURE_FRAMES)
+                                    if cfg.PLANNING.ENABLED else None)
+
+        bs = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            in_shardings=(rep, bs, rep), out_shardings=(rep, rep),
+            donate_argnums=(0,))
+        self._val_forward = jax.jit(
+            self._val_forward_impl, in_shardings=(rep, bs), out_shardings=rep)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng: jax.Array, batch: Dict[str, np.ndarray]) -> TrainState:
+        sample = jax.tree.map(lambda x: jnp.asarray(x[:1]), batch)
+        variables = self.model.init(
+            {'params': rng, 'sample': rng, 'dropout': rng},
+            sample['image'], sample['intrinsics'], sample['extrinsics'],
+            sample['future_egomotion'],
+            trajs=sample['sample_trajectory'][:, :, 1:],
+            gt_trajs=sample['gt_trajectory'][:, 1:],
+            commands=sample['command'],
+            target_points=sample['target_point'],
+            method=STP3.init_full)
+        params = variables['params']
+        state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+        return jax.device_put(state, replicated(self.mesh))
+
+    def param_count(self, state: TrainState) -> int:
+        return sum(p.size for p in jax.tree.leaves(state.params))
+
+    # ------------------------------------------------------------- labels
+    def prepare_future_labels(self, batch) -> Dict[str, jnp.ndarray]:
+        """Warp GT to the present frame (reference trainer.py:254-360).
+        All labels channels-last; int labels warped as float nearest."""
+        cfg = self.cfg
+        rf = self.rf
+        ego = batch['future_egomotion']
+        labels: Dict[str, jnp.ndarray] = {}
+        labels['hdmap'] = batch['hdmap'][:, rf - 1].astype(jnp.int32)
+        labels['gt_trajectory'] = batch['gt_trajectory']
+
+        if cfg.LIFT.GT_DEPTH:
+            down = cfg.MODEL.ENCODER.DOWNSAMPLE
+            d = batch['depths'][:, :rf, :, ::down, ::down]
+            d = jnp.clip(d, cfg.LIFT.D_BOUND[0], cfg.LIFT.D_BOUND[1] - 1)
+            labels['depths'] = (d - cfg.LIFT.D_BOUND[0]).astype(jnp.int32)
+
+        def warp_split(x, mode='nearest'):
+            """past frames warped forward, future frames warped back
+            (reference trainer.py:279-292)."""
+            past = cumulative_warp_features(
+                x[:, :rf].astype(jnp.float32), ego[:, :rf], mode,
+                self.spatial_extent)[:, :-1]
+            future = cumulative_warp_features_reverse(
+                x[:, rf - 1:].astype(jnp.float32), ego[:, rf - 1:], mode,
+                self.spatial_extent)
+            return jnp.concatenate([past, future], axis=1)
+
+        seg = warp_split(batch['segmentation'][..., None])
+        labels['segmentation'] = seg[..., 0].astype(jnp.int32)
+        if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
+            labels['pedestrian'] = warp_split(
+                batch['pedestrian'][..., None])[..., 0].astype(jnp.int32)
+        if cfg.INSTANCE_SEG.ENABLED:
+            labels['instance'] = warp_split(
+                batch['instance'][..., None])[..., 0].astype(jnp.int32)
+            labels['centerness'] = warp_split(batch['centerness'])
+            labels['offset'] = warp_split(batch['offset'])
+        if cfg.INSTANCE_FLOW.ENABLED:
+            labels['flow'] = warp_split(batch['flow'])
+        return labels
+
+    # ------------------------------------------------------------- loss
+    def _compute_losses(self, params, output, labels, batch, rng) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        rf = self.rf
+        loss: Dict[str, jnp.ndarray] = {}
+
+        def factor(name):
+            return 1.0 / (2.0 * jnp.exp(params[name]))
+
+        loss['segmentation'] = factor('segmentation_weight') * segmentation_loss(
+            output['segmentation'], labels['segmentation'],
+            cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS, rf, cfg.FUTURE_DISCOUNT,
+            cfg.SEMANTIC_SEG.VEHICLE.USE_TOP_K, cfg.SEMANTIC_SEG.VEHICLE.TOP_K_RATIO)
+        loss['segmentation_uncertainty'] = 0.5 * params['segmentation_weight']
+
+        if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
+            loss['pedestrian'] = factor('pedestrian_weight') * segmentation_loss(
+                output['pedestrian'], labels['pedestrian'],
+                cfg.SEMANTIC_SEG.PEDESTRIAN.WEIGHTS, rf, cfg.FUTURE_DISCOUNT,
+                cfg.SEMANTIC_SEG.PEDESTRIAN.USE_TOP_K,
+                cfg.SEMANTIC_SEG.PEDESTRIAN.TOP_K_RATIO)
+            loss['pedestrian_uncertainty'] = 0.5 * params['pedestrian_weight']
+
+        if cfg.SEMANTIC_SEG.HDMAP.ENABLED:
+            loss['hdmap'] = factor('hdmap_weight') * hdmap_loss(
+                output['hdmap'], labels['hdmap'], cfg.SEMANTIC_SEG.HDMAP.WEIGHTS,
+                cfg.SEMANTIC_SEG.HDMAP.TRAIN_WEIGHT,
+                cfg.SEMANTIC_SEG.HDMAP.USE_TOP_K, cfg.SEMANTIC_SEG.HDMAP.TOP_K_RATIO)
+            loss['hdmap_uncertainty'] = 0.5 * params['hdmap_weight']
+
+        if cfg.INSTANCE_SEG.ENABLED:
+            loss['instance_center'] = factor('centerness_weight') * spatial_regression_loss(
+                output['instance_center'], labels['centerness'], norm=2,
+                n_present=rf, future_discount=cfg.FUTURE_DISCOUNT)
+            loss['centerness_uncertainty'] = 0.5 * params['centerness_weight']
+            loss['instance_offset'] = factor('offset_weight') * spatial_regression_loss(
+                output['instance_offset'], labels['offset'], norm=1,
+                n_present=rf, future_discount=cfg.FUTURE_DISCOUNT,
+                ignore_index=cfg.DATASET.IGNORE_INDEX)
+            loss['offset_uncertainty'] = 0.5 * params['offset_weight']
+
+        if cfg.LIFT.GT_DEPTH:
+            loss['depths'] = factor('depths_weight') * depth_loss(
+                output['depth_prediction'], labels['depths'])
+            loss['depths_uncertainty'] = 0.5 * params['depths_weight']
+
+        if cfg.INSTANCE_FLOW.ENABLED:
+            loss['instance_flow'] = factor('flow_weight') * spatial_regression_loss(
+                output['instance_flow'], labels['flow'], norm=1,
+                n_present=rf, future_discount=cfg.FUTURE_DISCOUNT,
+                ignore_index=cfg.DATASET.IGNORE_INDEX)
+            loss['flow_uncertainty'] = 0.5 * params['flow_weight']
+
+        if cfg.PLANNING.ENABLED:
+            occ_ped = (labels['pedestrian'][:, rf:] if 'pedestrian' in labels
+                       else jnp.zeros_like(labels['segmentation'][:, rf:]))
+            occupancy = jnp.logical_or(labels['segmentation'][:, rf:],
+                                       occ_ped).astype(jnp.float32)
+            pl_loss, final_traj = self.model.apply(
+                {'params': params},
+                jax.lax.stop_gradient(output['cam_front']),
+                batch['sample_trajectory'][:, :, 1:],
+                labels['gt_trajectory'][:, 1:],
+                output['costvolume'][:, rf:],
+                occupancy,
+                labels['hdmap'].astype(jnp.float32),
+                batch['command'],
+                batch['target_point'],
+                train=True, method=STP3.plan,
+                rngs={'dropout': rng})
+            loss['planning'] = factor('planning_weight') * pl_loss
+            loss['planning_uncertainty'] = 0.5 * params['planning_weight']
+        return loss
+
+    def loss_fn(self, params, batch, rng):
+        labels = self.prepare_future_labels(batch)
+        rng_sample, rng_drop, rng_plan = jax.random.split(rng, 3)
+        output = self.model.apply(
+            {'params': params}, batch['image'], batch['intrinsics'],
+            batch['extrinsics'], batch['future_egomotion'], train=True,
+            rngs={'sample': rng_sample, 'dropout': rng_drop})
+        loss = self._compute_losses(params, output, labels, batch, rng_plan)
+        total = sum(loss.values())
+        return total, loss
+
+    # ------------------------------------------------------------- steps
+    def _train_step_impl(self, state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (total, loss_dict), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(state.params, batch, rng)
+        state = state.apply_gradients(grads=grads)
+        loss_dict = dict(loss_dict)
+        loss_dict['total'] = total
+        return state, loss_dict
+
+    def train_step(self, state, batch, rng):
+        return self._train_step(state, batch, rng)
+
+    def _val_forward_impl(self, params, batch):
+        labels = self.prepare_future_labels(batch)
+        output = self.model.apply(
+            {'params': params}, batch['image'], batch['intrinsics'],
+            batch['extrinsics'], batch['future_egomotion'], train=False)
+        if self.cfg.PLANNING.ENABLED:
+            rf = self.rf
+            seg_pred = output['segmentation'].argmax(-1)
+            ped_pred = (output['pedestrian'].argmax(-1)
+                        if self.cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED
+                        else jnp.zeros_like(seg_pred))
+            occupancy = jnp.logical_or(seg_pred, ped_pred).astype(jnp.float32)
+            _, final_traj = self.model.apply(
+                {'params': params}, output['cam_front'],
+                batch['sample_trajectory'][:, :, 1:],
+                labels['gt_trajectory'][:, 1:],
+                output['costvolume'][:, rf:], occupancy[:, rf:],
+                output['hdmap'], batch['command'], batch['target_point'],
+                train=False, method=STP3.plan)
+            output['final_traj'] = final_traj
+        return output, labels
+
+    def val_step(self, params, batch) -> Tuple[Dict, Dict]:
+        """Forward + metric updates (reference trainer.py:199-250)."""
+        cfg = self.cfg
+        rf = self.rf
+        output, labels = self._val_forward(params, batch)
+
+        seg_pred = np.asarray(output['segmentation']).argmax(-1)
+        self.metric_vehicle_val.update(seg_pred[:, rf - 1:],
+                                       np.asarray(labels['segmentation'])[:, rf - 1:])
+        if self.metric_pedestrian_val is not None:
+            ped_pred = np.asarray(output['pedestrian']).argmax(-1)
+            self.metric_pedestrian_val.update(
+                ped_pred[:, rf - 1:], np.asarray(labels['pedestrian'])[:, rf - 1:])
+        if self.metric_hdmap_val is not None:
+            hd = np.asarray(output['hdmap'])
+            for i, metric in enumerate(self.metric_hdmap_val):
+                pred_i = hd[..., 2 * i:2 * (i + 1)].argmax(-1)
+                metric.update(pred_i, np.asarray(labels['hdmap'])[..., i])
+        if self.metric_panoptic_val is not None:
+            consistent = predict_instance_segmentation_and_trajectories(output)
+            self.metric_panoptic_val.update(
+                consistent[:, rf - 1:], np.asarray(labels['instance'])[:, rf - 1:])
+        if self.metric_planning_val is not None:
+            occupancy = np.logical_or(np.asarray(labels['segmentation'])[:, rf:],
+                                      np.asarray(labels['pedestrian'])[:, rf:])
+            self.metric_planning_val.update(
+                np.asarray(output['final_traj']),
+                np.asarray(labels['gt_trajectory'])[:, 1:], occupancy)
+        return output, labels
+
+    # ------------------------------------------------------------- metrics
+    def compute_metrics(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        out: Dict[str, Any] = {}
+        out['iou_vehicle'] = self.metric_vehicle_val.compute()
+        if self.metric_pedestrian_val is not None:
+            out['iou_pedestrian'] = self.metric_pedestrian_val.compute()
+        if self.metric_hdmap_val is not None:
+            for name, metric in zip(cfg.SEMANTIC_SEG.HDMAP.ELEMENTS, self.metric_hdmap_val):
+                out[f'iou_hdmap_{name}'] = metric.compute()
+        if self.metric_panoptic_val is not None:
+            out['panoptic'] = self.metric_panoptic_val.compute()
+        if self.metric_planning_val is not None:
+            out['planning'] = self.metric_planning_val.compute()
+        return out
+
+    def reset_metrics(self):
+        for m in (self.metric_vehicle_val, self.metric_pedestrian_val,
+                  self.metric_panoptic_val, self.metric_planning_val):
+            if m is not None:
+                m.reset()
+        if self.metric_hdmap_val is not None:
+            for m in self.metric_hdmap_val:
+                m.reset()

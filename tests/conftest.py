@@ -18,5 +18,8 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
+# persistent compile cache: full-graph smoke tests recompile in seconds
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 assert jax.default_backend() == 'cpu', jax.default_backend()

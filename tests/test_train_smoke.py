@@ -1,0 +1,88 @@
+"""End-to-end integration: synthetic data -> jitted sharded train step ->
+val metrics (SURVEY.md §4 'synthetic-dataset integration test' +
+'multi-device tests without a cluster').
+
+These compile the full model graph on CPU (~2-3 min total) — kept to one
+full-config smoke plus a cheap single-vs-multi-device equivalence check on
+a reduced config.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import make_test_cfg
+from stp3_tpu.datas.dataloaders import prepare_dataloaders
+from stp3_tpu.parallel.mesh import make_mesh, shard_batch
+from stp3_tpu.training.trainer import Trainer
+
+
+@pytest.mark.slow
+def test_full_train_and_val_step():
+    cfg = make_test_cfg(BATCHSIZE=8)
+    trainloader, _ = prepare_dataloaders(cfg)
+    trainer = Trainer(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = next(iter(trainloader))
+    state = trainer.init_state(rng, batch)
+    batch = shard_batch(batch, trainer.mesh)
+
+    state, loss1 = trainer.train_step(state, batch, rng)
+    assert np.isfinite(float(loss1['total']))
+    # every configured task contributed a loss term
+    for key in ['segmentation', 'pedestrian', 'hdmap', 'instance_center',
+                'instance_offset', 'instance_flow', 'planning']:
+        assert key in loss1, key
+    history = [float(loss1['total'])]
+    for _ in range(4):
+        state, loss = trainer.train_step(state, batch, rng)
+        history.append(float(loss['total']))
+    assert np.isfinite(history).all()
+    # optimisation makes progress on a repeated batch within a few steps
+    assert min(history[1:]) < history[0], history
+
+    trainer.reset_metrics()
+    trainer.val_step(state.params, batch)
+    metrics = trainer.compute_metrics()
+    assert 'iou_vehicle' in metrics and metrics['iou_vehicle'].shape == (2,)
+    assert 'planning' in metrics
+    assert np.isfinite(metrics['planning']['L2']).all()
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_single_device():
+    """pjit-sharded step == single-device step (SURVEY.md §4). Perception
+    config (no future/planning) keeps the graph small."""
+    cfg = make_test_cfg(BATCHSIZE=4, N_FUTURE_FRAMES=0)
+    cfg.PROBABILISTIC.ENABLED = False
+    cfg.PLANNING.ENABLED = False
+    cfg.INSTANCE_SEG.ENABLED = False
+    cfg.INSTANCE_FLOW.ENABLED = False
+
+    loaders = prepare_dataloaders(cfg)
+    batch = next(iter(loaders[0]))
+    rng = jax.random.PRNGKey(0)
+
+    mesh4 = make_mesh(4)
+    mesh1 = make_mesh(1)
+    tr4 = Trainer(cfg, mesh=mesh4)
+    tr1 = Trainer(cfg, mesh=mesh1)
+
+    st4 = tr4.init_state(rng, batch)
+    st1 = tr1.init_state(rng, batch)
+    # same init params
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+                 st4.params, st1.params)
+
+    st4, l4 = tr4.train_step(st4, shard_batch(batch, mesh4), rng)
+    st1, l1 = tr1.train_step(st1, shard_batch(batch, mesh1), rng)
+    np.testing.assert_allclose(float(l4['total']), float(l1['total']), rtol=2e-4)
+    # updated params match across shardings. Exact equality is not expected:
+    # the cross-device gradient psum reorders fp32 reductions, and Adam's
+    # grad/sqrt(v) normalisation amplifies that noise up to ~2*lr where a
+    # near-zero gradient flips sign. Bound by a small multiple of lr.
+    lr = float(cfg.OPTIMIZER.LR)
+    flat4 = jax.tree.leaves(st4.params)
+    flat1 = jax.tree.leaves(st1.params)
+    for a, b in zip(flat4, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4 * lr)

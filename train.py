@@ -1,0 +1,112 @@
+"""Training CLI (reference train.py:14-61).
+
+    python train.py --config-file stp3_tpu/configs/nuscenes/Perception.yml \
+        [DATASET.NAME synthetic] [KEY VALUE ...]
+
+TPU-first runtime: one jitted train step over a 1-D data mesh; Orbax
+checkpoints every epoch + 'last' pointer; optional curriculum warm start
+that drops decoder-head params (reference train.py:21-29); TensorBoard
+scalars per step (reference trainer.py:369-375).
+"""
+from __future__ import annotations
+
+import os
+import socket
+import time
+
+import jax
+import numpy as np
+
+# persistent compile cache: the tunneled-TPU first compile is ~10 min for
+# the full graph; cached reruns skip it entirely
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+from stp3_tpu.config import get_cfg, get_parser
+from stp3_tpu.datas.dataloaders import prepare_dataloaders
+from stp3_tpu.parallel.mesh import maybe_initialize_multihost, shard_batch
+from stp3_tpu.training import checkpoint as ckpt_lib
+from stp3_tpu.training.trainer import Trainer
+
+
+def main():
+    args = get_parser().parse_args()
+    cfg = get_cfg(args)
+    maybe_initialize_multihost(cfg)
+
+    save_dir = os.path.join(
+        cfg.LOG_DIR, time.strftime('%d%B%Y_%H%M') + '_' + socket.gethostname() + '_' + cfg.TAG)
+    os.makedirs(save_dir, exist_ok=True)
+    ckpt_dir = os.path.join(save_dir, cfg.CHECKPOINT.DIR)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(save_dir)
+    except Exception:
+        writer = None
+
+    trainloader, valloader = prepare_dataloaders(cfg)
+    trainer = Trainer(cfg)
+    print(f'devices: {jax.devices()} mesh: {trainer.mesh}')
+
+    rng = jax.random.PRNGKey(42)
+    first_batch = next(iter(trainloader))
+    t0 = time.time()
+    state = trainer.init_state(rng, first_batch)
+    print(f'init: {trainer.param_count(state) / 1e6:.2f}M params ({time.time() - t0:.0f}s)')
+
+    # curriculum warm start (reference train.py:21-29)
+    if cfg.PRETRAINED.LOAD_WEIGHTS and cfg.PRETRAINED.PATH:
+        restored = ckpt_lib.load_checkpoint(cfg.PRETRAINED.PATH)
+        merged, n = ckpt_lib.filter_warm_start_params(restored['params'], state.params)
+        state = state.replace(params=merged)
+        print(f'warm start: loaded {n} tensors from {cfg.PRETRAINED.PATH} (decoder heads skipped)')
+
+    if cfg.CHECKPOINT.RESUME:
+        restored = ckpt_lib.load_checkpoint(cfg.CHECKPOINT.RESUME)
+        state = state.replace(params=restored['params'],
+                              opt_state=restored.get('opt_state', state.opt_state))
+        print(f'resumed from {cfg.CHECKPOINT.RESUME}')
+
+    step = int(state.step)
+    for epoch in range(cfg.EPOCHS):
+        for batch in trainloader:
+            batch = shard_batch(batch, trainer.mesh)
+            t0 = time.time()
+            state, loss = trainer.train_step(state, batch, rng)
+            total = float(loss['total'])
+            step += 1
+            if step % max(cfg.LOGGING_INTERVAL // 100, 1) == 0 or step <= 3:
+                dt = time.time() - t0
+                print(f'epoch {epoch} step {step} loss {total:.4f} ({dt * 1000:.0f} ms)')
+            if writer is not None:
+                for k, v in loss.items():
+                    writer.add_scalar(f'step_train_loss_{k}', float(v), step)
+
+        # validation epoch
+        trainer.reset_metrics()
+        for batch in valloader:
+            batch = shard_batch(batch, trainer.mesh)
+            trainer.val_step(state.params, batch)
+        metrics = trainer.compute_metrics()
+        for k, v in metrics.items():
+            if isinstance(v, dict):
+                for kk, vv in v.items():
+                    print(f'epoch {epoch} val {k}/{kk}: {np.asarray(vv)}')
+            else:
+                print(f'epoch {epoch} val {k}: {np.asarray(v)}')
+                if writer is not None and np.asarray(v).size > 1:
+                    writer.add_scalar(f'epoch_val_{k}', float(np.asarray(v)[-1]), step)
+
+        if cfg.CHECKPOINT.SAVE_EVERY_EPOCH:
+            path = ckpt_lib.save_checkpoint(ckpt_dir, step, state.params,
+                                            state.opt_state, cfg.convert_to_dict())
+            print(f'saved checkpoint {path}')
+
+    print('done.')
+
+
+if __name__ == '__main__':
+    main()
