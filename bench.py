@@ -1,0 +1,82 @@
+"""Benchmark: end-to-end 6-camera perceive->predict->plan latency, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput/latency numbers (SURVEY.md §6); the
+north-star target from BASELINE.md is <100 ms p50 for a full 6-cam
+forward + plan on one TPU v5e chip. ``vs_baseline`` = 100ms-target / p50
+(>1 means beating the target by that factor).
+
+Measures the flagship nuScenes Planning stack (EfficientNet-b4, 6 cams at
+224x480, 200x200 BEV, 6 future frames, 1800 candidate trajectories):
+model forward + planner select + GRU refinement, inputs already on-device
+(steady-state serving; jit-compiled once, p50 over repeated calls).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
+def main():
+    import jax.numpy as jnp
+    from __graft_entry__ import _example_inputs, _flagship_cfg
+    from stp3_tpu.models.stp3 import STP3, STP3Config
+
+    cfg = _flagship_cfg()
+    model_cfg = STP3Config.from_cfg(cfg)
+    model = STP3(model_cfg)
+    image, k, e, ego = _example_inputs(cfg)
+
+    rng = np.random.RandomState(0)
+    n_future = cfg.N_FUTURE_FRAMES
+    trajs = jnp.asarray(rng.randn(1, cfg.PLANNING.SAMPLE_NUM, n_future, 3)
+                        .astype(np.float32))
+    gt = jnp.asarray(rng.randn(1, n_future, 3).astype(np.float32))
+    commands = jnp.zeros((1,), jnp.int32)
+    target = jnp.zeros((1, 2), jnp.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), image, k, e, ego, train=False)
+
+    @jax.jit
+    def plan_step(image, k, e, ego):
+        out = model.apply(variables, image, k, e, ego, train=False)
+        rf = model_cfg.receptive_field
+        seg_pred = out['segmentation'].argmax(-1)
+        ped_pred = out['pedestrian'].argmax(-1)
+        occupancy = jnp.logical_or(seg_pred, ped_pred).astype(jnp.float32)
+        _, traj = model.apply(variables, out['cam_front'], trajs, gt,
+                              out['costvolume'][:, rf:], occupancy[:, rf:],
+                              out['hdmap'], commands, target,
+                              train=False, method=STP3.plan)
+        return traj
+
+    # compile + warmup
+    traj = plan_step(image, k, e, ego)
+    traj.block_until_ready()
+
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        plan_step(image, k, e, ego).block_until_ready()
+        times.append((time.perf_counter() - t0) * 1000.0)
+    p50 = float(np.percentile(times, 50))
+
+    print(json.dumps({
+        'metric': 'e2e_6cam_plan_latency_p50',
+        'value': round(p50, 2),
+        'unit': 'ms',
+        'vs_baseline': round(100.0 / p50, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()
