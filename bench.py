@@ -44,11 +44,18 @@ def main():
     commands = jnp.zeros((1,), jnp.int32)
     target = jnp.zeros((1, 2), jnp.float32)
 
-    variables = model.init(jax.random.PRNGKey(0), image, k, e, ego, train=False)
+    variables = model.init(
+        jax.random.PRNGKey(0), image, k, e, ego, trajs=trajs, gt_trajs=gt,
+        commands=commands, target_points=target, method=STP3.init_full)
 
     @jax.jit
-    def plan_step(image, k, e, ego):
-        out = model.apply(variables, image, k, e, ego, train=False)
+    def plan_step(image, k, e, ego, carry):
+        # carry creates a serial dependency between iterations so the timing
+        # loop cannot be pipelined/elided by the async runtime (the tunneled
+        # backend's block_until_ready is unreliable; a data dependency +
+        # one final host readback is the only honest clock)
+        img = image + carry * 0.0
+        out = model.apply(variables, img, k, e, ego, train=False)
         rf = model_cfg.receptive_field
         seg_pred = out['segmentation'].argmax(-1)
         ped_pred = out['pedestrian'].argmax(-1)
@@ -57,18 +64,23 @@ def main():
                               out['costvolume'][:, rf:], occupancy[:, rf:],
                               out['hdmap'], commands, target,
                               train=False, method=STP3.plan)
-        return traj
+        return traj, traj[0, 0, 0]
 
     # compile + warmup
-    traj = plan_step(image, k, e, ego)
-    traj.block_until_ready()
+    carry = jnp.zeros(())
+    traj, carry = plan_step(image, k, e, ego, carry)
+    float(carry)
 
-    times = []
-    for _ in range(20):
+    def run_chain(n):
+        c = jnp.zeros(())
         t0 = time.perf_counter()
-        plan_step(image, k, e, ego).block_until_ready()
-        times.append((time.perf_counter() - t0) * 1000.0)
-    p50 = float(np.percentile(times, 50))
+        for _ in range(n):
+            _, c = plan_step(image, k, e, ego, c)
+        float(c)  # single readback drains the chain
+        return (time.perf_counter() - t0) / n * 1000.0
+
+    reps = [run_chain(5) for _ in range(5)]
+    p50 = float(np.percentile(reps, 50))
 
     print(json.dumps({
         'metric': 'e2e_6cam_plan_latency_p50',

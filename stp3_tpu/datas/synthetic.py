@@ -77,13 +77,16 @@ class SyntheticDataset:
         cfg = self.cfg
         s, rf = self.s_total, self.rf
 
-        # --- ego motion: constant forward speed + slight yaw rate
+        # --- ego motion: constant forward speed + slight yaw rate.
+        # future_egomotion follows the real datasets' convention
+        # (NuscenesData.py:359-387): vec(inv(e_{t+1}) @ e_t), i.e. forward
+        # ego motion gives a NEGATIVE x translation (old origin is behind).
         v_ego = 4.0 + 4.0 * rng.rand()
         yaw_rate = 0.04 * rng.randn()
         dt = 0.5
         ego = np.zeros((s, 6), np.float32)
-        ego[:, 0] = v_ego * dt          # forward x translation per step
-        ego[:, 5] = yaw_rate * dt
+        ego[:, 0] = -v_ego * dt
+        ego[:, 5] = -yaw_rate * dt
 
         # --- actors: boxes with constant world velocity, in the PRESENT frame
         n_veh = rng.randint(2, 6)
@@ -100,8 +103,10 @@ class SyntheticDataset:
             })
 
         # ego position in the PRESENT frame at each t (labels are per-frame
-        # ego-centric, like the rasterized reference labels)
-        ego_x = np.cumsum(np.concatenate([[0.0], ego[:-1, 0]]))  # displacement up to t
+        # ego-centric, like the rasterized reference labels); the ego really
+        # moves forward by +v*dt per step even though the egomotion VECTOR
+        # is negative (see above)
+        ego_x = np.cumsum(np.concatenate([[0.0], np.full(s - 1, v_ego * dt)]))
         present_x = ego_x[rf - 1]
 
         seg = np.zeros((s, self.hb, self.wb), np.int32)

@@ -1,0 +1,151 @@
+"""Simulator-independent closed-loop agent core.
+
+All the per-tick logic of the reference's ``MVPAgent`` (carla_agent.py:79-480)
+minus the CARLA/leaderboard plumbing, so it runs against a recorded-tick
+harness (SURVEY.md §7 hard-part 7) and real CARLA alike:
+
+  * 3-deep rolling buffers of (4-camera frames, gps, heading);
+  * fixed CARLA camera rig intrinsics/extrinsics;
+  * per-tick egomotion from consecutive gps/compass readings;
+  * trajectory sampling seeded by (speed, last steering);
+  * ONE pre-jitted fixed-shape forward+plan step — the <100 ms target
+    needs a single compiled call, no retracing (BASELINE.md);
+  * PID steering/speed controllers on the refined waypoints.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from stp3_tpu.datas.carla_data import (CARLA_CMD_TO_CODE, CMD_LANE,
+                                       IMAGENET_MEAN, IMAGENET_STD,
+                                       carla_cam_rig, scale_and_crop_image)
+from stp3_tpu.deploy.control import PIDController, control_pid
+from stp3_tpu.models.stp3 import STP3, STP3Config
+from stp3_tpu.utils import sampler as trajectory_sampler
+
+
+class AgentCore:
+    def __init__(self, cfg, params, warmup: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        self.model_cfg = STP3Config.from_cfg(cfg)
+        self.model = STP3(self.model_cfg)
+        self.params = params
+        self.rf = cfg.TIME_RECEPTIVE_FIELD
+        self.n_future = cfg.N_FUTURE_FRAMES
+        self.n_samples = cfg.PLANNING.SAMPLE_NUM
+        self.crop = cfg.IMAGE.FINAL_DIM[0]
+
+        self.buffer_rgb = deque(maxlen=self.rf)
+        self.buffer_gps = deque(maxlen=self.rf)
+        self.buffer_theta = deque(maxlen=self.rf)
+        self.last_steer = 0.0
+        self.step_count = -1
+
+        self.turn_controller = PIDController(k_p=1.25, k_i=0.75, k_d=0.3, n=40)
+        self.speed_controller = PIDController(k_p=5.0, k_i=0.5, k_d=1.0, n=40)
+
+        extr, intr = carla_cam_rig(cfg.IMAGE.FINAL_DIM)
+        self._extr = np.tile(extr, (1, self.rf, 1, 1, 1))   # (1, rf, 4, 4, 4)
+        self._intr = np.tile(intr, (1, self.rf, 1, 1, 1))
+
+        model, model_cfg = self.model, self.model_cfg
+
+        @jax.jit
+        def infer(params, images, intrinsics, extrinsics, future_egomotion,
+                  trajs, commands, target_points):
+            out = model.apply(params, images, intrinsics, extrinsics,
+                              future_egomotion, train=False)
+            rf = model_cfg.receptive_field
+            seg = out['segmentation'].argmax(-1)
+            ped = out['pedestrian'].argmax(-1)
+            occupancy = jnp.logical_or(seg, ped).astype(jnp.float32)
+            gt_dummy = jnp.zeros((images.shape[0], model_cfg.n_future, 3))
+            _, traj = model.apply(params, out['cam_front'], trajs, gt_dummy,
+                                  out['costvolume'][:, rf:], occupancy[:, rf:],
+                                  out['hdmap'], commands, target_points,
+                                  train=False, method=STP3.plan)
+            return traj, out
+
+        self._infer = infer
+        if warmup:
+            self._warmup()
+
+    def _warmup(self):
+        """Compile the fixed-shape inference once up front."""
+        h = self.crop
+        imgs = np.zeros((1, self.rf, 4, h, h, 3), np.float32)
+        ego = np.zeros((1, self.rf, 6), np.float32)
+        trajs = np.zeros((1, self.n_samples, self.n_future, 3), np.float32)
+        cmd = np.zeros((1,), np.int32)
+        tp = np.zeros((1, 2), np.float32)
+        traj, _ = self._infer(dict(self.params), imgs, self._intr, self._extr,
+                              ego, trajs, cmd, tp)
+        np.asarray(traj)
+
+    # ------------------------------------------------------------ per tick
+    @staticmethod
+    def normalise(img: np.ndarray) -> np.ndarray:
+        return (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    def push_frame(self, rgb_by_cam: Dict[str, np.ndarray], gps, theta):
+        """rgb_by_cam: {'rgb','rgb_left','rgb_right','rgb_rear'} HxWx3 uint8."""
+        from PIL import Image
+        frames = []
+        for key in ['rgb', 'rgb_left', 'rgb_right', 'rgb_rear']:
+            img = scale_and_crop_image(Image.fromarray(rgb_by_cam[key]),
+                                       scale=1.0, crop=self.crop)
+            frames.append(self.normalise(img))
+        self.buffer_rgb.append(np.stack(frames))                 # (4, H, W, 3)
+        self.buffer_gps.append(np.asarray(gps, np.float64))
+        self.buffer_theta.append(float(theta))
+        self.step_count += 1
+
+    @property
+    def warmed_up(self) -> bool:
+        return len(self.buffer_rgb) >= self.rf and self.step_count >= self.rf + 1
+
+    def _egomotion(self) -> np.ndarray:
+        from stp3_tpu.ops import geometry as G
+        import jax.numpy as jnp
+        xs = [g[0] for g in self.buffer_gps]
+        ys = [g[1] for g in self.buffer_gps]
+        ths = list(self.buffer_theta)
+        out = []
+        for i in range(len(xs) - 1):
+            def mat(x, y, th):
+                m = np.eye(4, dtype=np.float32)
+                c, s = np.cos(th), np.sin(th)
+                m[:2, :2] = [[c, -s], [s, c]]
+                m[0, 3], m[1, 3] = x, y
+                return m
+            fe = np.linalg.inv(mat(xs[i + 1], ys[i + 1], ths[i + 1])) @ mat(xs[i], ys[i], ths[i])
+            fe[3, :3] = 0.0
+            fe[3, 3] = 1.0
+            out.append(np.asarray(G.mat2pose_vec(jnp.asarray(fe)), np.float32))
+        out.append(np.zeros(6, np.float32))
+        return np.stack(out)[None]                               # (1, rf, 6)
+
+    def plan_step(self, speed: float, command_value: int,
+                  target_point: np.ndarray) -> Tuple[float, float, bool, Dict]:
+        """Full model tick -> (steer, throttle, brake, metadata)."""
+        images = np.stack(list(self.buffer_rgb))[None]           # (1, rf, 4, H, W, 3)
+        ego = self._egomotion()
+        trajs = trajectory_sampler.sample_trajectories(
+            speed, self.last_steer, self.n_future, self.n_samples).astype(np.float32)
+        cmd = np.asarray([CARLA_CMD_TO_CODE.get(command_value, CMD_LANE)], np.int32)
+        tp = np.asarray(target_point, np.float32)[None]
+
+        traj, _ = self._infer(dict(self.params), images, self._intr, self._extr,
+                              ego, trajs[None, :, 1:], cmd, tp)
+        waypoints = np.asarray(traj)[0, :, :2]
+        steer, throttle, brake, metadata = control_pid(
+            waypoints, speed, self.turn_controller, self.speed_controller)
+        metadata['command'] = int(command_value)
+        self.last_steer = steer
+        return steer, throttle, brake, metadata
