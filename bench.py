@@ -48,6 +48,15 @@ def main():
         jax.random.PRNGKey(0), image, k, e, ego, trajs=trajs, gt_trajs=gt,
         commands=commands, target_points=target, method=STP3.init_full)
 
+    # bf16 serving policy (cfg PRECISION 16); geometry inputs stay fp32
+    from stp3_tpu.utils.precision import cast_floating, policy_dtype
+    dt = policy_dtype(cfg)
+    variables = cast_floating(variables, dt)
+    image = image.astype(dt)
+    trajs = trajs.astype(dt)
+    gt = gt.astype(dt)
+    target = target.astype(dt)
+
     @jax.jit
     def plan_step(image, k, e, ego, carry):
         # carry creates a serial dependency between iterations so the timing
@@ -67,12 +76,12 @@ def main():
         return traj, traj[0, 0, 0]
 
     # compile + warmup
-    carry = jnp.zeros(())
+    carry = jnp.zeros((), dt)
     traj, carry = plan_step(image, k, e, ego, carry)
     float(carry)
 
     def run_chain(n):
-        c = jnp.zeros(())
+        c = jnp.zeros((), dt)
         t0 = time.perf_counter()
         for _ in range(n):
             _, c = plan_step(image, k, e, ego, c)

@@ -1,16 +1,19 @@
-"""Microbenchmark: BEV splat variants on the real chip.
+"""Microbenchmark: BEV splat variants + stage costs on the real chip.
 
-Times the three bev_pool paths ('sort', 'scatter', 'pallas') and the
-stages of the full projection (outer product, prewarp, pool, scan) at the
-flagship scale (B=1, S=3, N=6, D=48, 28x60, C=64 -> 200x200 grid) to
-decide where kernel effort goes.
+Timing uses chained data dependencies + one host readback — the tunneled
+backend's block_until_ready returns early, so naive loops report ~0 ms.
+Inputs are passed as jit ARGUMENTS (closure constants get baked into the
+program and blow the tunnel's remote-compile payload limit).
 
 Run: python benchmarks/bev_pool_bench.py
 """
 from __future__ import annotations
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -25,13 +28,15 @@ from stp3_tpu.ops import bev_pool as BP  # noqa: E402
 from stp3_tpu.ops import geometry as G  # noqa: E402
 
 
-def timeit(fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit_chain(f, args, n=10, dtype=jnp.float32):
+    """f(*args, carry)->scalar; returns ms/call with serial chaining."""
+    c = f(*args, jnp.zeros((), dtype))
+    float(c)
     t0 = time.perf_counter()
+    c = jnp.zeros((), dtype)
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        c = f(*args, c)
+    float(c)
     return (time.perf_counter() - t0) / n * 1000.0
 
 
@@ -39,6 +44,7 @@ def main():
     B, S, N, D, HF, WF, C = 1, 3, 6, 48, 28, 60, 64
     res, start, dim = G.calculate_birds_eye_view_parameters(
         [-50.0, 50.0, 0.5], [-50.0, 50.0, 0.5], [-10.0, 10.0, 20.0])
+    dim_np = np.asarray(dim)
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.rand(B, S, N, D, HF, WF, C).astype(np.float32))
     geom = jnp.asarray((rng.rand(B, S, N, D, HF, WF, 3) * 90 - 45).astype(np.float32))
@@ -48,36 +54,59 @@ def main():
     flat_feats = feats.reshape(B * S, p, C)
     coords, valid = BP.voxelize_coords(geom.reshape(B * S, p, 3), res, start, dim)
 
+    for dtype in [jnp.float32, jnp.bfloat16]:
+        ff_t = flat_feats.astype(dtype)
+        for method in ['sort', 'scatter', 'pallas']:
+            @jax.jit
+            def step(ff, cc, vv, carry, method=method):
+                ff = ff + carry.astype(ff.dtype) * 0
+                if method == 'pallas':   # pallas_call does not vmap on TPU
+                    out = jnp.stack([
+                        BP.bev_pool(ff[i], cc[i], vv[i], dim_np, method=method)
+                        for i in range(ff.shape[0])])
+                else:
+                    out = jax.vmap(lambda a, b, c: BP.bev_pool(
+                        a, b, c, dim_np, method=method))(ff, cc, vv)
+                return out.ravel()[0].astype(jnp.float32)
+            try:
+                ms = timeit_chain(step, (ff_t, coords, valid))
+                print(f'bev_pool[{method}][{np.dtype(dtype).name}]: {ms:.2f} ms',
+                      flush=True)
+            except Exception as exc:
+                print(f'bev_pool[{method}][{np.dtype(dtype).name}]: FAILED {exc}',
+                      flush=True)
+
+    @jax.jit
+    def step_sort(cc, vv, carry):
+        cc = cc + (carry * 0).astype(cc.dtype)
+        r = jax.vmap(lambda c, v: BP._ranks(c, v, dim_np))(cc, vv)
+        order = jnp.argsort(r, axis=-1)
+        return order.ravel()[0].astype(jnp.float32)
+    print(f'ranks+argsort: {timeit_chain(step_sort, (coords, valid)):.2f} ms',
+          flush=True)
+
     for method in ['sort', 'scatter']:
-        f = jax.jit(jax.vmap(lambda ff, cc, vv: BP.bev_pool(
-            ff, cc, vv, np.asarray(dim), method=method)))
-        ms = timeit(f, flat_feats, coords, valid)
-        print(f'bev_pool[{method}] (BS={B*S}, P={p}, C={C}): {ms:.2f} ms')
+        @jax.jit
+        def step_proj(ff, gg, ee, carry, method=method):
+            ff = ff + carry.astype(ff.dtype) * 0
+            out = BP.project_to_birds_eye_view(
+                ff, gg, ee, jnp.asarray(res), jnp.asarray(start), dim,
+                method=method)
+            return out.ravel()[0].astype(jnp.float32)
+        ms = timeit_chain(step_proj, (feats, geom, ego))
+        print(f'project_to_birds_eye_view[{method}]: {ms:.2f} ms', flush=True)
 
-    # rank computation + argsort alone
-    def ranks_and_sort(cc, vv):
-        r = BP._ranks(cc, vv, np.asarray(dim))
-        return jnp.argsort(r)
-    ms = timeit(jax.jit(jax.vmap(ranks_and_sort)), coords, valid)
-    print(f'ranks+argsort: {ms:.2f} ms')
-
-    # full projection
-    for method in ['sort', 'scatter']:
-        f = jax.jit(lambda ff, gg, ee: BP.project_to_birds_eye_view(
-            ff, gg, ee, jnp.asarray(res), jnp.asarray(start), dim,
-            method=method))
-        ms = timeit(f, feats, geom, ego)
-        print(f'project_to_birds_eye_view[{method}]: {ms:.2f} ms')
-
-    # depth-softmax outer product alone (the lift, stp3.py:214-217)
     ctx = jnp.asarray(rng.rand(B * S * N, HF, WF, C).astype(np.float32))
     dep = jnp.asarray(rng.rand(B * S * N, HF, WF, D).astype(np.float32))
 
-    def lift(ctx, dep):
-        p = jax.nn.softmax(dep, -1)
-        return jnp.moveaxis(p, -1, 1)[..., None] * ctx[:, None]
-    ms = timeit(jax.jit(lift), ctx, dep)
-    print(f'depth-softmax outer product: {ms:.2f} ms')
+    @jax.jit
+    def step_lift(ctx, dep, carry):
+        d = dep + carry * 0.0
+        pr = jax.nn.softmax(d, -1)
+        lifted = jnp.moveaxis(pr, -1, 1)[..., None] * ctx[:, None]
+        return lifted.ravel()[0]
+    print(f'depth-softmax outer product: {timeit_chain(step_lift, (ctx, dep)):.2f} ms',
+          flush=True)
 
 
 if __name__ == '__main__':

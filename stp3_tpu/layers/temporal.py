@@ -22,16 +22,22 @@ from stp3_tpu.layers.convolutions import Bottleblock, ConvNeXtBlock, DeepLabHead
 
 
 class ConvGRUCell(nn.Module):
-    """Convolutional GRU cell (reference SpatialGRU.gru_cell, temporal.py:44-57)."""
+    """Convolutional GRU cell (reference SpatialGRU.gru_cell, temporal.py:44-57).
+
+    The update and reset gates share the same input, so their two 3x3 convs
+    are fused into one conv with 2x hidden outputs — halves the sequential
+    conv dispatches in the (deeply serial) GRU rollouts."""
     hidden_size: int
     gru_bias_init: float = 0.0
 
     @nn.compact
     def __call__(self, x, state):
         xs = jnp.concatenate([x, state], axis=-1)
-        update = nn.sigmoid(nn.Conv(self.hidden_size, (3, 3), padding='SAME')(xs) + self.gru_bias_init)
-        reset = nn.sigmoid(nn.Conv(self.hidden_size, (3, 3), padding='SAME')(xs) + self.gru_bias_init)
-        tilde = nn.Conv(self.hidden_size, (3, 3), padding='SAME')(
+        gates = nn.Conv(2 * self.hidden_size, (3, 3), padding='SAME',
+                        name='gates')(xs) + self.gru_bias_init
+        update = nn.sigmoid(gates[..., :self.hidden_size])
+        reset = nn.sigmoid(gates[..., self.hidden_size:])
+        tilde = nn.Conv(self.hidden_size, (3, 3), padding='SAME', name='candidate')(
             jnp.concatenate([x, (1.0 - reset) * state], axis=-1))
         return (1.0 - update) * state + update * tilde
 

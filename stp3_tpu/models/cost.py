@@ -106,9 +106,12 @@ class CostFunction:
         self.f_progress = cc.progress
         self.f_volume = cc.volume
         xb, yb, zb = cc.x_bound, cc.y_bound, cc.z_bound
-        self._fp0 = jnp.asarray(ego_footprint_offsets(xb, yb, zb, self.W, self.H, 0))
+        # keep footprints as HOST numpy: CostFunction may be constructed
+        # inside a jit trace (Planning.setup), where jnp constants become
+        # tracers and break the static shifted-slice construction
+        self._fp0 = ego_footprint_offsets(xb, yb, zb, self.W, self.H, 0)
         lam_cells = int(self.f_lambda / float(self.dx[0]))
-        self._fp_lam = jnp.asarray(ego_footprint_offsets(xb, yb, zb, self.W, self.H, lam_cells))
+        self._fp_lam = ego_footprint_offsets(xb, yb, zb, self.W, self.H, lam_cells)
 
     @classmethod
     def from_cfg(cls, cfg) -> "CostFunction":
@@ -127,12 +130,62 @@ class CostFunction:
 
     def _compute_area(self, semantic, trajs, footprint, ego_velocity=None):
         """Sum of semantic occupancy under the ego footprint along the
-        trajectory (reference cost.py:104-123). semantic: (B,T,H,W)."""
+        trajectory (reference cost.py:104-123). semantic: (B,T,H,W).
+
+        Exact reference semantics: per-footprint-cell gather with clamping
+        (K=~32 gathers per trajectory point). Kept for parity tests; the
+        default fast path is _footprint_map + _gather_map."""
         rr, cc = self._traj_cells(trajs, footprint)              # (B,N,T,K)
         t = jnp.arange(rr.shape[2])[None, None, :, None]
         sub = semantic[
             jnp.arange(semantic.shape[0])[:, None, None, None], t, rr, cc
         ].sum(axis=-1)                                           # (B,N,T)
+        if ego_velocity is not None:
+            sub = sub * ego_velocity
+        return sub
+
+    def _footprint_map(self, grid: jnp.ndarray, footprint):
+        """Precompute per-center-cell footprint sums on an EXTENDED domain:
+        ext[i', j'] = sum_k grid[clip(i' - rmax + rr_k), clip(j' - cmax + cc_k)]
+        for center cells fi = i' - rmax in [-rmax, H-1-rmin] (the footprint
+        offsets encode the grid-origin shift, so valid centers are negative).
+
+        TPU-first rewrite of the (B, N, T, K) gather storm: K static shifted
+        slices of an edge-padded grid, fused by XLA into one vector pass;
+        evaluating a trajectory then costs ONE gather instead of K. Matches
+        the reference per-cell clamped gather (cost.py:83-123) exactly for
+        every center cell in the extended range; centers even further out
+        freeze at the boundary value instead of the reference's
+        progressively-clamped sums (>2 grid-widths outside the map)."""
+        h, w = grid.shape[-2], grid.shape[-1]
+        fp = np.asarray(footprint)
+        if fp.size == 0:
+            z = jnp.zeros_like(grid)
+            return z, 0, 0
+        rmin, rmax = int(fp[:, 0].min()), int(fp[:, 0].max())
+        cmin, cmax = int(fp[:, 1].min()), int(fp[:, 1].max())
+        lr, lc = rmax - rmin, cmax - cmin
+        pad = [(0, 0)] * (grid.ndim - 2) + [(lr, lr), (lc, lc)]
+        padded = jnp.pad(grid, pad, mode='edge')
+        hext, wext = h + lr, w + lc
+        out = None
+        for rr_k, cc_k in fp:
+            piece = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(padded, int(rr_k) - rmin, hext, axis=-2),
+                int(cc_k) - cmin, wext, axis=-1)
+            out = piece if out is None else out + piece
+        return out, rmax, cmax
+
+    def _gather_map(self, fmap_r0_c0, trajs: jnp.ndarray,
+                    ego_velocity=None) -> jnp.ndarray:
+        """Gather a footprint-sum map at trajectory floor center cells
+        -> (B,N,T). fmap_r0_c0 = output of _footprint_map."""
+        fmap, r0, c0 = fmap_r0_c0
+        cells = jnp.floor(trajs / self.dx)[..., ::-1]            # (B,N,T,2)
+        ri = jnp.clip(cells[..., 0].astype(jnp.int32) + r0, 0, fmap.shape[-2] - 1)
+        ci = jnp.clip(cells[..., 1].astype(jnp.int32) + c0, 0, fmap.shape[-1] - 1)
+        t = jnp.arange(trajs.shape[2])[None, None, :]
+        sub = fmap[jnp.arange(fmap.shape[0])[:, None, None], t, ri, ci]
         if ego_velocity is not None:
             sub = sub * ego_velocity
         return sub
@@ -179,19 +232,21 @@ class CostFunction:
         dangerous = jnp.logical_not(da.astype(bool)).astype(jnp.float32)
         t = trajs.shape[2]
         dangerous = jnp.broadcast_to(dangerous[:, None], (dangerous.shape[0], t) + dangerous.shape[1:])
-        return self._compute_area(dangerous, trajs, self._fp0) * 5.0
+        fmap = self._footprint_map(dangerous, self._fp0)
+        return self._gather_map(fmap, trajs) * 5.0
 
     def safety_term(self, trajs, semantic_pred):
         vel = self._velocity(trajs)
-        sub1 = self._compute_area(semantic_pred, trajs, self._fp0)
-        sub2 = self._compute_area(semantic_pred, trajs, self._fp_lam, vel)
+        sub1 = self._gather_map(self._footprint_map(semantic_pred, self._fp0), trajs)
+        sub2 = self._gather_map(self._footprint_map(semantic_pred, self._fp_lam),
+                                trajs, vel)
         return (sub1 + sub2) * self.f_safety
 
     def headway_term(self, trajs, semantic_pred, drivable_area):
         da = self._binary_from_logits(drivable_area)
         sem = semantic_pred * da[:, None]
         shifted = trajs.at[..., 1].add(10.0)  # 10 m longitudinal keep-out
-        return self._compute_area(sem, shifted, self._fp0) * self.f_headway
+        return self._gather_map(self._footprint_map(sem, self._fp0), shifted) * self.f_headway
 
     def lr_divider_term(self, trajs, lane_divider, radius_cells: int = 4):
         """Distance penalty < L=1 m to the nearest lane-divider pixel.

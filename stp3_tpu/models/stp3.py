@@ -283,9 +283,9 @@ class STP3(nn.Module):
             log_sigma = jnp.clip(mu_log_sigma[:, :, L:2 * L],
                                  c.min_log_sigma, c.max_log_sigma)
             if train:
-                noise = jax.random.normal(rng, (b, s, L))
+                noise = jax.random.normal(rng, (b, s, L), mu.dtype)
             else:
-                noise = jnp.zeros((b, s, L))
+                noise = jnp.zeros((b, s, L), mu.dtype)
             return mu + jnp.exp(log_sigma) * noise
 
         if c.prob_method == 'GAUSSIAN':
@@ -305,9 +305,10 @@ class STP3(nn.Module):
         elif c.prob_method == 'BERNOULLI':
             log_prob = self.present_distribution(present_state, train=train)  # (B,H,W,L)
             if train:
-                noise = jax.random.normal(self.make_rng('sample'), (b, h, w, L))
+                noise = jax.random.normal(self.make_rng('sample'), (b, h, w, L),
+                                          log_prob.dtype)
             else:
-                noise = jnp.zeros((b, h, w, L))
+                noise = jnp.zeros((b, h, w, L), log_prob.dtype)
             sample = (jnp.exp(log_prob) + noise)[:, None]
         else:
             raise NotImplementedError(c.prob_method)

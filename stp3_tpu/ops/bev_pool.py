@@ -70,6 +70,9 @@ def bev_pool(feats: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
     feats = jnp.where(valid[:, None], feats, 0.0)
 
     if method == 'sort':
+        # NOTE: measured 2x SLOWER than 'scatter' on v5e — the random-row
+        # gather feats[order] (372 MB at flagship scale) dominates
+        # (benchmarks/bev_pool_bench.py). Kept for cross-checking.
         order = jnp.argsort(ranks)
         out = jax.ops.segment_sum(feats[order], ranks[order], num_segments=ncells + 1,
                                   indices_are_sorted=True)
@@ -77,8 +80,8 @@ def bev_pool(feats: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
         out = jax.ops.segment_sum(feats, ranks, num_segments=ncells + 1)
     elif method == 'pallas':
         from stp3_tpu.ops.pallas.bev_pool_kernel import bev_pool_pallas
-        order = jnp.argsort(ranks)
-        out = bev_pool_pallas(feats[order], ranks[order], ncells + 1)
+        out = bev_pool_pallas(feats, ranks, ncells)
+        out = jnp.concatenate([out, jnp.zeros_like(out[:1])], axis=0)
     else:
         raise ValueError(f'Unknown bev_pool method {method}')
     out = out[:ncells]  # drop overflow segment
@@ -119,7 +122,15 @@ def _project_impl(feats, geometry, future_egomotion, bev_resolution, bev_start_p
     flat_valid = valid.reshape(b, s, -1)
 
     pool = partial(bev_pool, bev_dimension=np.asarray(bev_dimension_t), method=method)
-    splat = jax.vmap(jax.vmap(pool))(flat_feats, flat_coords, flat_valid)  # (B,S,nx,ny,nz*C)
+    if method == 'pallas':
+        # pallas_call does not vmap; B*S is tiny (<=  batch x 3 frames), so a
+        # static python loop compiles to sequential kernel launches
+        splat = jnp.stack([
+            jnp.stack([pool(flat_feats[ib, it], flat_coords[ib, it], flat_valid[ib, it])
+                       for it in range(s)])
+            for ib in range(b)])
+    else:
+        splat = jax.vmap(jax.vmap(pool))(flat_feats, flat_coords, flat_valid)  # (B,S,nx,ny,nz*C)
 
     # 3. discounted temporal accumulate: out_t = discount * out_{t-1} + splat_t
     def step(carry, x_t):
@@ -133,7 +144,7 @@ def _project_impl(feats, geometry, future_egomotion, bev_resolution, bev_start_p
 def project_to_birds_eye_view(feats: jnp.ndarray, geometry: jnp.ndarray,
                               future_egomotion: jnp.ndarray, bev_resolution,
                               bev_start_position, bev_dimension,
-                              discount: float = 0.5, method: str = 'sort') -> jnp.ndarray:
+                              discount: float = 0.5, method: str = 'auto') -> jnp.ndarray:
     """Full splat: pre-warp + voxel pooling + discounted temporal accumulate.
 
     feats: (B, S, N, D, Hf, Wf, C) lifted camera features
@@ -143,6 +154,12 @@ def project_to_birds_eye_view(feats: jnp.ndarray, geometry: jnp.ndarray,
     ``STP3.projection_to_birds_eye_view`` (stp3.py:226-301).
     """
     bev_dim_t = tuple(int(v) for v in np.asarray(bev_dimension))
+    if method == 'auto':
+        # 'scatter' wins end-to-end: the pallas kernel is 1.5x faster
+        # STANDALONE (18 vs 27 ms) but its sequential per-frame launches +
+        # fp32 staging lose the fusion XLA gives the scatter inside the
+        # full forward graph (133 vs 114 ms e2e; benchmarks/)
+        method = 'scatter'
     return _project_impl(feats, geometry, future_egomotion,
                          jnp.asarray(bev_resolution), jnp.asarray(bev_start_position),
                          bev_dim_t, float(discount), method)

@@ -1,0 +1,112 @@
+"""Pallas TPU kernel: BEV voxel-pooling scatter-accumulate.
+
+Replaces XLA's generic scatter lowering for the lift-splat hot loop
+(reference ``VoxelsSumming``, stp3/utils/geometry.py:299-330): the full
+(ncells, C) accumulator lives in VMEM across the whole kernel while point
+chunks stream in; each point does one row-accumulate. The backward pass is
+just a gather (d feats[p] = g[rank[p]]), wired via custom_vjp — the
+reference needed a hand-written backward for the same reason.
+
+Layout: feats (P, C) fp32/bf16, ranks (P,) int32 in [0, ncells]; rank ==
+ncells marks invalid points (skipped). ncells * C * 4B must fit VMEM
+(200*200*64 fp32 = 10.2 MB on a 16 MB core). Ranks are staged to SMEM as
+(chunk/128, 128) blocks to satisfy Mosaic's (8, 128) tiling rules.
+
+Measured 1.5x faster than XLA's scatter lowering STANDALONE at flagship
+scale (18.3 ms vs 27.1 ms for BSxP = 3x484k, C=64 on v5e;
+benchmarks/bev_pool_bench.py) but slower end-to-end inside the full
+forward graph (sequential per-frame launches + fp32 staging forfeit XLA's
+fusion), so ``method='auto'`` resolves to 'scatter'. Not vmappable —
+batch via a static python loop. Kept as the base for a future fused
+lift+splat variant (fold the depth-softmax outer product into the kernel
+so the (BS, N, D, Hf, Wf, C) intermediate never materialises).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CHUNK = 8192
+_LANE = 128
+
+
+def _scatter_kernel(ranks_ref, feats_ref, out_ref, *, ncells: int, chunk: int):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(i, _):
+        r = ranks_ref[i // _LANE, i % _LANE]
+
+        @pl.when(r < ncells)
+        def _():
+            # accumulate fp32 regardless of input dtype: numerically safer
+            # AND required — bf16 tiles are (16, 128), so Mosaic cannot do
+            # a dynamic single-row bf16 store
+            out_ref[pl.ds(r, 1), :] += feats_ref[pl.ds(i, 1), :].astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bev_pool_pallas(feats: jnp.ndarray, ranks: jnp.ndarray, ncells: int) -> jnp.ndarray:
+    """feats (P, C); ranks (P,) int32, ncells = invalid marker.
+    Returns (ncells, C) scatter-add of valid points."""
+    return _forward(feats, ranks, ncells)
+
+
+def _forward(feats, ranks, ncells):
+    in_dtype = feats.dtype
+    # stage fp32: dynamic single-row bf16 loads/stores violate Mosaic's
+    # (16, 128) bf16 tiling; fp32 rows are supported
+    feats = feats.astype(jnp.float32)
+    p, c = feats.shape
+    # chunk must be a multiple of the 128-lane SMEM row
+    chunk = min(_CHUNK, -(-p // _LANE) * _LANE)
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    if pad:
+        feats = jnp.pad(feats, ((0, pad), (0, 0)))
+        ranks = jnp.pad(ranks, (0, pad), constant_values=ncells)
+    ranks2d = ranks.reshape(n_chunks * chunk // _LANE, _LANE)
+    rows = chunk // _LANE
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, ncells=ncells, chunk=chunk),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((rows, _LANE), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ncells, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
+        # the revisited output block is double-buffered by the pipeline, so
+        # peak VMEM is ~2x the accumulator + streamed chunks; raise the
+        # scoped limit above the 16M default (v5e has 128M VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(ranks2d, feats)
+    return out.astype(in_dtype)
+
+
+def _fwd(feats, ranks, ncells):
+    return _forward(feats, ranks, ncells), ranks
+
+
+def _bwd(ncells, ranks, g):
+    # d out[cell] / d feats[p] = 1[rank[p] == cell]; invalid rows read the
+    # zero-padded overflow row
+    g_ext = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
+    dfeats = g_ext[jnp.clip(ranks, 0, ncells)]
+    return dfeats, None
+
+
+bev_pool_pallas.defvjp(_fwd, _bwd)

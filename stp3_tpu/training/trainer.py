@@ -33,6 +33,7 @@ from stp3_tpu.ops.warp import (cumulative_warp_features,
                                cumulative_warp_features_reverse)
 from stp3_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from stp3_tpu.utils.instance import predict_instance_segmentation_and_trajectories
+from stp3_tpu.utils.precision import cast_floating, policy_dtype
 
 
 class TrainState(train_state.TrainState):
@@ -58,6 +59,9 @@ class Trainer:
         self.spatial_extent = (cfg.LIFT.X_BOUND[1], cfg.LIFT.Y_BOUND[1])
         self.rf = cfg.TIME_RECEPTIVE_FIELD
         self.tx = make_optimizer(cfg)
+        # PRECISION 16 -> bf16 activations/weights, fp32 master params
+        # (utils/precision.py); geometry inputs and losses stay fp32
+        self.compute_dtype = policy_dtype(cfg)
 
         n_classes = len(cfg.SEMANTIC_SEG.VEHICLE.WEIGHTS)
         self.metric_vehicle_val = IoUMetric(n_classes)
@@ -142,9 +146,12 @@ class Trainer:
         return labels
 
     # ------------------------------------------------------------- loss
-    def _compute_losses(self, params, output, labels, batch, rng) -> Dict[str, jnp.ndarray]:
+    def _compute_losses(self, params, output, labels, batch, rng,
+                        params_c=None) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         rf = self.rf
+        if params_c is None:
+            params_c = params
         loss: Dict[str, jnp.ndarray] = {}
 
         def factor(name):
@@ -199,9 +206,10 @@ class Trainer:
                        else jnp.zeros_like(labels['segmentation'][:, rf:]))
             occupancy = jnp.logical_or(labels['segmentation'][:, rf:],
                                        occ_ped).astype(jnp.float32)
+            dt = self.compute_dtype
             pl_loss, final_traj = self.model.apply(
-                {'params': params},
-                jax.lax.stop_gradient(output['cam_front']),
+                {'params': params_c},
+                jax.lax.stop_gradient(output['cam_front']).astype(dt),
                 batch['sample_trajectory'][:, :, 1:],
                 labels['gt_trajectory'][:, 1:],
                 output['costvolume'][:, rf:],
@@ -211,18 +219,23 @@ class Trainer:
                 batch['target_point'],
                 train=True, method=STP3.plan,
                 rngs={'dropout': rng})
-            loss['planning'] = factor('planning_weight') * pl_loss
+            loss['planning'] = factor('planning_weight') * pl_loss.astype(jnp.float32)
             loss['planning_uncertainty'] = 0.5 * params['planning_weight']
         return loss
 
     def loss_fn(self, params, batch, rng):
         labels = self.prepare_future_labels(batch)
         rng_sample, rng_drop, rng_plan = jax.random.split(rng, 3)
+        params_c = cast_floating(params, self.compute_dtype)
+        image = batch['image'].astype(self.compute_dtype)
         output = self.model.apply(
-            {'params': params}, batch['image'], batch['intrinsics'],
+            {'params': params_c}, image, batch['intrinsics'],
             batch['extrinsics'], batch['future_egomotion'], train=True,
             rngs={'sample': rng_sample, 'dropout': rng_drop})
-        loss = self._compute_losses(params, output, labels, batch, rng_plan)
+        # losses in fp32 (log-softmax etc. are unstable in bf16)
+        output = cast_floating(output, jnp.float32)
+        loss = self._compute_losses(params, output, labels, batch, rng_plan,
+                                    params_c=params_c)
         total = sum(loss.values())
         return total, loss
 
@@ -241,8 +254,10 @@ class Trainer:
 
     def _val_forward_impl(self, params, batch):
         labels = self.prepare_future_labels(batch)
+        params_c = cast_floating(params, self.compute_dtype)
+        image = batch['image'].astype(self.compute_dtype)
         output = self.model.apply(
-            {'params': params}, batch['image'], batch['intrinsics'],
+            {'params': params_c}, image, batch['intrinsics'],
             batch['extrinsics'], batch['future_egomotion'], train=False)
         if self.cfg.PLANNING.ENABLED:
             rf = self.rf
@@ -250,16 +265,18 @@ class Trainer:
             ped_pred = (output['pedestrian'].argmax(-1)
                         if self.cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED
                         else jnp.zeros_like(seg_pred))
-            occupancy = jnp.logical_or(seg_pred, ped_pred).astype(jnp.float32)
+            occupancy = jnp.logical_or(seg_pred, ped_pred)
             _, final_traj = self.model.apply(
-                {'params': params}, output['cam_front'],
-                batch['sample_trajectory'][:, :, 1:],
-                labels['gt_trajectory'][:, 1:],
-                output['costvolume'][:, rf:], occupancy[:, rf:],
-                output['hdmap'], batch['command'], batch['target_point'],
+                {'params': params_c}, output['cam_front'],
+                batch['sample_trajectory'][:, :, 1:].astype(self.compute_dtype),
+                labels['gt_trajectory'][:, 1:].astype(self.compute_dtype),
+                output['costvolume'][:, rf:],
+                occupancy[:, rf:].astype(self.compute_dtype),
+                output['hdmap'], batch['command'],
+                batch['target_point'].astype(self.compute_dtype),
                 train=False, method=STP3.plan)
             output['final_traj'] = final_traj
-        return output, labels
+        return cast_floating(output, jnp.float32), labels
 
     def val_step(self, params, batch) -> Tuple[Dict, Dict]:
         """Forward + metric updates (reference trainer.py:199-250)."""

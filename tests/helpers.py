@@ -10,6 +10,7 @@ from stp3_tpu.config import get_cfg
 
 def make_test_cfg(**overrides):
     cfg = get_cfg()
+    cfg.PRECISION = 32   # exactness tests run fp32; bf16 covered separately
     cfg.BATCHSIZE = 2
     cfg.IMAGE.FINAL_DIM = (32, 64)
     cfg.IMAGE.NAMES = ['CAM_LEFT', 'CAM_RIGHT']

@@ -45,6 +45,30 @@ def test_bev_pool_gradient_matches_oracle():
     np.testing.assert_allclose(grad, expected, atol=1e-5)
 
 
+def test_bev_pool_pallas_matches_oracle_interpret():
+    """Pallas kernel vs dense oracle (+ VJP) in interpreter mode (the real
+    compile path runs on TPU; see benchmarks/bev_pool_bench.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+    feats, coords, valid = _random_points(p=300, c=8, seed=3)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(BP.bev_pool(jnp.asarray(feats), jnp.asarray(coords),
+                                     jnp.asarray(valid), BEV_DIM, method='pallas'))
+        oracle = BP.bev_pool_dense_reference(feats, coords, valid, BEV_DIM)
+        np.testing.assert_allclose(out, oracle, atol=1e-4)
+
+        g = np.random.RandomState(4).randn(10, 10, 8).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(BP.bev_pool(x, jnp.asarray(coords), jnp.asarray(valid),
+                                       BEV_DIM, method='pallas') * g)
+        grad = np.asarray(jax.grad(f)(jnp.asarray(feats)))
+        expected = np.zeros_like(feats)
+        for p in range(feats.shape[0]):
+            if valid[p]:
+                expected[p] = g[coords[p, 0], coords[p, 1]]
+        np.testing.assert_allclose(grad, expected, atol=1e-5)
+
+
 def test_voxelize_matches_reference_quantization():
     pts = np.array([[[-4.99, 0.0, 0.0], [4.99, -4.99, 0.0], [5.01, 0.0, 0.0]]], dtype=np.float32)
     coords, valid = BP.voxelize_coords(jnp.asarray(pts), BEV_RES, BEV_START, BEV_DIM)

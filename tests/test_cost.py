@@ -86,6 +86,20 @@ def test_lr_divider_penalty_near_line(cf):
     np.testing.assert_allclose(pen0, 0.0)
 
 
+def test_footprint_map_matches_exact_gather(cf):
+    """Fast conv-map path == reference per-cell gather for in-grid trajs."""
+    rng = np.random.RandomState(7)
+    b, n, t = 2, 16, 3
+    h, w = int(cf.bev_dimension[0]), int(cf.bev_dimension[1])
+    sem = jnp.asarray(rng.rand(b, t, h, w).astype(np.float32))
+    # trajectories well inside the grid (floor cell in range)
+    trajs = jnp.asarray((rng.rand(b, n, t, 2) * 8 - 4).astype(np.float32))
+    for fp in [cf._fp0, cf._fp_lam]:
+        exact = np.asarray(cf._compute_area(sem, trajs, fp))
+        fast = np.asarray(cf._gather_map(cf._footprint_map(sem, fp), trajs))
+        np.testing.assert_allclose(fast, exact, rtol=1e-5, atol=1e-5)
+
+
 def test_aggregate_contract(cf):
     b, n, t = 2, 6, 2
     h, w = int(cf.bev_dimension[0]), int(cf.bev_dimension[1])

@@ -50,6 +50,28 @@ def test_full_train_and_val_step():
 
 
 @pytest.mark.slow
+def test_bf16_train_step_finite():
+    """PRECISION 16 path: bf16 activations, fp32 master params."""
+    cfg = make_test_cfg(BATCHSIZE=4, N_FUTURE_FRAMES=0, PRECISION=16)
+    cfg.PROBABILISTIC.ENABLED = False
+    cfg.PLANNING.ENABLED = False
+    cfg.INSTANCE_SEG.ENABLED = False
+    cfg.INSTANCE_FLOW.ENABLED = False
+    trainloader, _ = prepare_dataloaders(cfg)
+    trainer = Trainer(cfg, mesh=make_mesh(4))
+    assert trainer.compute_dtype == jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    batch = next(iter(trainloader))
+    state = trainer.init_state(rng, batch)
+    # master params stay fp32
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+    batch = shard_batch(batch, trainer.mesh)
+    state, loss = trainer.train_step(state, batch, rng)
+    assert np.isfinite(float(loss['total']))
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+
+
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """pjit-sharded step == single-device step (SURVEY.md §4). Perception
     config (no future/planning) keeps the graph small."""

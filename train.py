@@ -87,9 +87,20 @@ def main():
 
         # validation epoch
         trainer.reset_metrics()
-        for batch in valloader:
+        for val_idx, batch in enumerate(valloader):
             batch = shard_batch(batch, trainer.mesh)
-            trainer.val_step(state.params, batch)
+            output, labels = trainer.val_step(state.params, batch)
+            if val_idx == 0 and writer is not None:
+                # GT-vs-pred BEV panel video (reference trainer.py:362-367)
+                try:
+                    from stp3_tpu.utils.visualisation import visualise_output
+                    panel = visualise_output(labels, output, cfg)  # (T,H,W,3)
+                    import torch
+                    vid = torch.from_numpy(
+                        np.ascontiguousarray(panel.transpose(0, 3, 1, 2))[None])
+                    writer.add_video(f'val_outputs', vid, global_step=step, fps=2)
+                except Exception as exc:
+                    print(f'visualisation failed: {exc}')
         metrics = trainer.compute_metrics()
         for k, v in metrics.items():
             if isinstance(v, dict):
@@ -99,6 +110,14 @@ def main():
                 print(f'epoch {epoch} val {k}: {np.asarray(v)}')
                 if writer is not None and np.asarray(v).size > 1:
                     writer.add_scalar(f'epoch_val_{k}', float(np.asarray(v)[-1]), step)
+
+        # uncertainty-weight scalars — the main training diagnostic
+        # (reference trainer.py:420-448)
+        if writer is not None:
+            for name, w in state.params.items():
+                if name.endswith('_weight') and getattr(w, 'ndim', None) == 0:
+                    writer.add_scalar(f'epoch_{name}',
+                                      float(1.0 / (2.0 * np.exp(float(w)))), step)
 
         if cfg.CHECKPOINT.SAVE_EVERY_EPOCH:
             path = ckpt_lib.save_checkpoint(ckpt_dir, step, state.params,
