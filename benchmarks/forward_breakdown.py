@@ -38,6 +38,12 @@ def timeit_chain(f, n=5):
     return (time.perf_counter() - t0) / n * 1000.0
 
 
+
+def dep(x, c):
+    """Serial-dependency injection that PRESERVES x.dtype (a raw fp32 carry
+    would silently promote bf16 inputs back to fp32)."""
+    return x + (c * 0).astype(x.dtype)
+
 def main():
     cfg = _flagship_cfg()
     mc = STP3Config.from_cfg(cfg)
@@ -55,11 +61,20 @@ def main():
         commands=commands, target_points=target, method=STP3.init_full)
     print(f'init: {time.time() - t0:.0f}s', flush=True)
 
+    # serve in bf16 like bench.py (cfg PRECISION 16)
+    from stp3_tpu.utils.precision import cast_floating, policy_dtype
+    dt = policy_dtype(cfg)
+    variables = cast_floating(variables, dt)
+    image = image.astype(dt)
+    trajs = trajs.astype(dt)
+    gt = gt.astype(dt)
+    target = target.astype(dt)
+
     # full forward
     @jax.jit
     def full(c):
-        out = model.apply(variables, image + c * 0.0, k, e, ego, train=False)
-        return out['segmentation'].ravel()[0]
+        out = model.apply(variables, dep(image, c), k, e, ego, train=False)
+        return out['segmentation'].ravel()[0].astype(jnp.float32)
     print(f'forward (no plan): {timeit_chain(full):.1f} ms', flush=True)
 
     # encoder only (18 images)
@@ -67,72 +82,72 @@ def main():
 
     @jax.jit
     def enc(c):
-        feat, depth = model.apply(variables, flat_img + c * 0.0, train=False,
+        feat, depth = model.apply(variables, dep(flat_img, c), train=False,
                                   method=lambda m, x, train: m.encoder(x, train=train))
-        return feat.ravel()[0]
+        return feat.ravel()[0].astype(jnp.float32)
     print(f'encoder (18 imgs): {timeit_chain(enc):.1f} ms', flush=True)
 
     # lift + splat
     @jax.jit
     def lift_splat(c):
         x, depth, cam = model.apply(
-            variables, image + c * 0.0, k, e, ego, train=False,
+            variables, dep(image, c), k, e, ego, train=False,
             method=lambda m, image, k, e, ego, train: m.calculate_birds_eye_view_features(
                 image, k, e, ego, train=train))
-        return x.ravel()[0]
+        return x.ravel()[0].astype(jnp.float32)
     print(f'lift+splat (incl encoder): {timeit_chain(lift_splat):.1f} ms', flush=True)
 
     # temporal model on BEV states
     h, w = mc.bev_size
     states_in = jnp.asarray(rng.rand(1, mc.receptive_field, h, w,
-                                     mc.temporal_in_channels).astype(np.float32))
+                                     mc.temporal_in_channels).astype(np.float32)).astype(dt)
 
     @jax.jit
     def temporal(c):
-        out = model.apply(variables, states_in + c * 0.0, train=False,
+        out = model.apply(variables, dep(states_in, c), train=False,
                           method=lambda m, x, train: m.temporal_model(x, train=train))
-        return out.ravel()[0]
+        return out.ravel()[0].astype(jnp.float32)
     print(f'temporal model: {timeit_chain(temporal):.1f} ms', flush=True)
 
     # distribution + future prediction
     states = jnp.asarray(rng.rand(1, mc.receptive_field, h, w,
-                                  mc.future_pred_in_channels).astype(np.float32))
+                                  mc.future_pred_in_channels).astype(np.float32)).astype(dt)
 
     @jax.jit
     def future(c):
         def run(m, s, train):
             sample = m.distribution_forward(s[:, -1:], train=train)
             return m.future_prediction(sample, s, train=train)
-        out = model.apply(variables, states + c * 0.0, train=False,
+        out = model.apply(variables, dep(states, c), train=False,
                           method=lambda m, s, train: run(m, s, train))
-        return out.ravel()[0]
+        return out.ravel()[0].astype(jnp.float32)
     print(f'distribution+future: {timeit_chain(future):.1f} ms', flush=True)
 
     # decoder
     s_total = mc.receptive_field + mc.n_future
     dec_in = jnp.asarray(rng.rand(1, s_total, h, w,
-                                  mc.future_pred_in_channels).astype(np.float32))
+                                  mc.future_pred_in_channels).astype(np.float32)).astype(dt)
 
     @jax.jit
     def dec(c):
-        out = model.apply(variables, dec_in + c * 0.0, train=False,
+        out = model.apply(variables, dep(dec_in, c), train=False,
                           method=lambda m, x, train: m.decoder(x, train=train))
-        return out['segmentation'].ravel()[0]
+        return out['segmentation'].ravel()[0].astype(jnp.float32)
     print(f'decoder: {timeit_chain(dec):.1f} ms', flush=True)
 
     # planner
     hf, wf = image.shape[3] // 8, image.shape[4] // 8
-    cam_front = jnp.asarray(rng.rand(1, hf, wf, mc.encoder_out_channels).astype(np.float32))
-    cv = jnp.asarray(rng.rand(1, mc.n_future, h, w).astype(np.float32))
-    occ = jnp.asarray((rng.rand(1, mc.n_future, h, w) > 0.9).astype(np.float32))
-    hd = jnp.asarray(rng.rand(1, h, w, 4).astype(np.float32))
+    cam_front = jnp.asarray(rng.rand(1, hf, wf, mc.encoder_out_channels).astype(np.float32)).astype(dt)
+    cv = jnp.asarray(rng.rand(1, mc.n_future, h, w).astype(np.float32)).astype(dt)
+    occ = jnp.asarray((rng.rand(1, mc.n_future, h, w) > 0.9).astype(np.float32)).astype(dt)
+    hd = jnp.asarray(rng.rand(1, h, w, 4).astype(np.float32)).astype(dt)
 
     @jax.jit
     def plan(c):
-        _, traj = model.apply(variables, cam_front + c * 0.0, trajs, gt, cv,
+        _, traj = model.apply(variables, dep(cam_front, c), trajs, gt, cv,
                               occ, hd, commands, target, train=False,
                               method=STP3.plan)
-        return traj.ravel()[0]
+        return traj.ravel()[0].astype(jnp.float32)
     print(f'planner (1800 trajs): {timeit_chain(plan):.1f} ms', flush=True)
 
 

@@ -32,7 +32,8 @@ from stp3_tpu.models.encoder import Encoder
 from stp3_tpu.models.future_prediction import FuturePrediction
 from stp3_tpu.models.planning_model import Planning
 from stp3_tpu.models.temporal_model import TemporalModel, TemporalModelIdentity
-from stp3_tpu.ops.bev_pool import project_to_birds_eye_view
+from stp3_tpu.ops.bev_pool import (project_lift_splat_fused,
+                                   project_to_birds_eye_view)
 from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
                                    create_frustum, get_geometry)
 
@@ -92,6 +93,10 @@ class STP3Config:
     # depth supervision
     gt_depth: bool = False
     cam_front_index: int = 1
+    # pallas fused lift+splat: avoids materialising the lifted tensor but
+    # its serial scatter loop measured SLOWER end-to-end than XLA's scatter
+    # (130 vs 115 ms; see ops/pallas/bev_pool_kernel.py) — opt-in only
+    fused_lift_splat: bool = False
 
     @classmethod
     def from_cfg(cls, cfg) -> "STP3Config":
@@ -174,7 +179,6 @@ class STP3(nn.Module):
                                use_depth_distribution=c.use_depth_distribution)
 
         if c.temporal_name == 'identity':
-            assert c.receptive_field == 1 or True
             self.temporal_model = TemporalModelIdentity(c.receptive_field)
         elif c.temporal_name == 'temporal_block':
             self.temporal_model = TemporalModel(
@@ -251,10 +255,32 @@ class STP3(nn.Module):
     def calculate_birds_eye_view_features(self, image, intrinsics, extrinsics,
                                           future_egomotion, *, train: bool):
         """(B,S,N,H,W,3) -> BEV features (B,S,nx,ny,C), depth logits,
-        cam_front (present frame) (reference stp3.py:303-318)."""
+        cam_front (present frame) (reference stp3.py:303-318).
+
+        On TPU with a depth distribution, the lift (depth-softmax x context
+        outer product) is FUSED into the pallas splat kernel so the
+        (B,S,N,D,Hf,Wf,C) intermediate never materialises; other
+        configurations take the materialised path."""
         b, s, n = image.shape[:3]
         geometry = get_geometry(jnp.asarray(self.frustum), intrinsics, extrinsics)
         # (B,S,N,D,Hf,Wf,3)
+
+        use_fused = (self.cfg.fused_lift_splat
+                     and self.cfg.use_depth_distribution
+                     and jax.default_backend() == 'tpu')
+        if use_fused:
+            flat = image.reshape(b * s * n, *image.shape[3:])
+            feat, depth = self.encoder(flat, train=train)
+            feat = feat.reshape(b, s, n, *feat.shape[1:])        # (B,S,N,Hf,Wf,C)
+            depth = depth.reshape(b, s, n, *depth.shape[1:])     # (B,S,N,Hf,Wf,D)
+            cam_front = (feat[:, -1, self.cfg.cam_front_index]
+                         if self.cfg.planning_enabled else None)
+            x = project_lift_splat_fused(
+                feat, depth, geometry, future_egomotion,
+                self.bev_resolution, self.bev_start_position,
+                self.bev_dimension, discount=self.cfg.discount)
+            return x, depth, cam_front
+
         lifted, depth, cam_front = self.encoder_forward(
             image.reshape(b * s, *image.shape[2:]), train=train)
         feats = lifted.reshape(b, s, *lifted.shape[1:])  # (B,S,N,D,Hf,Wf,C)

@@ -141,6 +141,69 @@ def _project_impl(feats, geometry, future_egomotion, bev_resolution, bev_start_p
     return jnp.swapaxes(out, 0, 1)  # (B,S,nx,ny,nz*C)
 
 
+@partial(jax.jit, static_argnames=('bev_dimension_t', 'discount'))
+def _project_fused_impl(ctx, depth_logits, geometry, future_egomotion,
+                        bev_resolution, bev_start_position, bev_dimension_t,
+                        discount):
+    from stp3_tpu.ops.pallas.bev_pool_kernel import lift_splat_pallas
+    b, s, n, hf, wf, c = ctx.shape
+    d = depth_logits.shape[-1]
+    nx, ny, nz = bev_dimension_t
+    ncells = nx * ny * nz
+
+    tr = cumulative_prewarp_transforms(future_egomotion, s)
+    rot = tr[..., :3, :3]
+    t3 = tr[..., :3, 3]
+    geom = (jnp.einsum('bsij,bsndhwj->bsndhwi', rot, geometry, precision='highest')
+            + t3[:, :, None, None, None, None, :])
+    coords, valid = voxelize_coords(geom, bev_resolution, bev_start_position,
+                                    bev_dimension_t)
+    ranks = _ranks(coords.reshape(b, s, -1, 3), valid.reshape(b, s, -1),
+                   np.asarray(bev_dimension_t)).astype(jnp.int32)
+
+    # point p = (cam n, depth d, pixel hw) -> ray id n*Hf*Wf + hw (static)
+    ray_ids = jnp.asarray(
+        (np.arange(n)[:, None, None] * (hf * wf)
+         + np.zeros((1, d, 1), np.int32)
+         + np.arange(hf * wf)[None, None, :]).reshape(-1).astype(np.int32))
+
+    dp = jax.nn.softmax(depth_logits, axis=-1)                   # (B,S,N,Hf,Wf,D)
+    dp = jnp.moveaxis(dp, -1, 3)                                 # (B,S,N,D,Hf,Wf)
+    ctx_flat = ctx.reshape(b, s, n * hf * wf, c)
+
+    splat = jnp.stack([
+        jnp.stack([
+            lift_splat_pallas(ctx_flat[ib, it], dp[ib, it].reshape(-1),
+                              ranks[ib, it], ray_ids, ncells)
+            for it in range(s)])
+        for ib in range(b)]).reshape(b, s, nx, ny, nz * c)
+
+    def step(carry, x_t):
+        nxt = carry * discount + x_t
+        return nxt, nxt
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(splat[:, 0]), jnp.swapaxes(splat, 0, 1))
+    return jnp.swapaxes(out, 0, 1)
+
+
+def project_lift_splat_fused(ctx, depth_logits, geometry, future_egomotion,
+                             bev_resolution, bev_start_position, bev_dimension,
+                             discount: float = 0.5) -> jnp.ndarray:
+    """Fused lift+splat (pallas): the (B,S,N,D,Hf,Wf,C) lifted tensor never
+    materialises — the kernel computes depth_prob x ctx rows on the fly
+    while scatter-accumulating into a VMEM-resident grid.
+
+    ctx: (B,S,N,Hf,Wf,C) camera context features;
+    depth_logits: (B,S,N,Hf,Wf,D); geometry: (B,S,N,D,Hf,Wf,3).
+    Returns (B,S,nx,ny,nz*C), same contract as project_to_birds_eye_view.
+    """
+    bev_dim_t = tuple(int(v) for v in np.asarray(bev_dimension))
+    return _project_fused_impl(ctx, depth_logits, geometry, future_egomotion,
+                               jnp.asarray(bev_resolution),
+                               jnp.asarray(bev_start_position),
+                               bev_dim_t, float(discount))
+
+
 def project_to_birds_eye_view(feats: jnp.ndarray, geometry: jnp.ndarray,
                               future_egomotion: jnp.ndarray, bev_resolution,
                               bev_start_position, bev_dimension,

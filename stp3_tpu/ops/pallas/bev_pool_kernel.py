@@ -97,6 +97,101 @@ def _forward(feats, ranks, ncells):
     return out.astype(in_dtype)
 
 
+# =====================================================================
+# Fused lift + splat
+# =====================================================================
+def _lift_scatter_kernel(ranks_ref, rays_ref, dp_ref, ctx_ref, out_ref, *,
+                         ncells: int, chunk: int):
+    """out[rank[p]] += depth_prob[p] * ctx[ray[p]] — the depth-softmax x
+    context outer product (reference stp3.py:214-217) fused into the
+    scatter so the (N, D, Hf, Wf, C) lifted tensor never exists."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(i, _):
+        r = ranks_ref[i // _LANE, i % _LANE]
+
+        @pl.when(r < ncells)
+        def _():
+            dp = dp_ref[i // _LANE, i % _LANE]
+            ray = rays_ref[i // _LANE, i % _LANE]
+            out_ref[pl.ds(r, 1), :] += dp * ctx_ref[pl.ds(ray, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+def _lift_splat_forward(ctx, depth_prob, ranks, ray_ids, ncells):
+    """ctx (R, C) fp32; depth_prob (P,) fp32; ranks/ray_ids (P,) int32.
+    Returns (ncells, C) fp32."""
+    p = ranks.shape[0]
+    c = ctx.shape[-1]
+    chunk = min(_CHUNK, -(-p // _LANE) * _LANE)
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    if pad:
+        ranks = jnp.pad(ranks, (0, pad), constant_values=ncells)
+        ray_ids = jnp.pad(ray_ids, (0, pad))
+        depth_prob = jnp.pad(depth_prob, (0, pad))
+    shape2d = (n_chunks * chunk // _LANE, _LANE)
+    rows = chunk // _LANE
+
+    out = pl.pallas_call(
+        functools.partial(_lift_scatter_kernel, ncells=ncells, chunk=chunk),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((rows, _LANE), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, _LANE), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, _LANE), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ctx.shape[0], c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ncells, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncells, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(ranks.reshape(shape2d), ray_ids.reshape(shape2d),
+      depth_prob.astype(jnp.float32).reshape(shape2d), ctx.astype(jnp.float32))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lift_splat_pallas(ctx, depth_prob, ranks, ray_ids, ncells):
+    """Fused depth-prob x context scatter (see _lift_scatter_kernel).
+    ctx (R, C); depth_prob (P,); ranks (P,) int32 in [0, ncells] (ncells =
+    invalid); ray_ids (P,) int32 in [0, R). Returns (ncells, C) in
+    ctx.dtype."""
+    return _lift_splat_forward(ctx, depth_prob, ranks, ray_ids,
+                               ncells).astype(ctx.dtype)
+
+
+def _ls_fwd(ctx, depth_prob, ranks, ray_ids, ncells):
+    out = lift_splat_pallas(ctx, depth_prob, ranks, ray_ids, ncells)
+    return out, (ctx, depth_prob, ranks, ray_ids)
+
+
+def _ls_bwd(ncells, res, g):
+    ctx, depth_prob, ranks, ray_ids = res
+    g = g.astype(jnp.float32)
+    g_ext = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
+    g_rows = g_ext[jnp.clip(ranks, 0, ncells)]                   # (P, C)
+    valid = (ranks < ncells)[:, None]
+    g_rows = jnp.where(valid, g_rows, 0.0)
+    # d ctx[r] = sum_{p: ray=r} dp[p] * g[rank[p]]
+    d_ctx = jax.ops.segment_sum(depth_prob[:, None].astype(jnp.float32) * g_rows,
+                                ray_ids, num_segments=ctx.shape[0])
+    # d dp[p] = <g[rank[p]], ctx[ray[p]]>
+    d_dp = (g_rows * ctx[ray_ids].astype(jnp.float32)).sum(-1)
+    return (d_ctx.astype(ctx.dtype), d_dp.astype(depth_prob.dtype), None, None)
+
+
+lift_splat_pallas.defvjp(_ls_fwd, _ls_bwd)
+
+
 def _fwd(feats, ranks, ncells):
     return _forward(feats, ranks, ncells), ranks
 

@@ -69,6 +69,38 @@ def test_bev_pool_pallas_matches_oracle_interpret():
         np.testing.assert_allclose(grad, expected, atol=1e-5)
 
 
+def test_fused_lift_splat_matches_materialized():
+    """Fused pallas lift+splat == softmax-outer-product + scatter path,
+    forward AND gradients (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.RandomState(5)
+    b, s, n, d, hf, wf, c = 1, 2, 2, 3, 2, 3, 4
+    ctx = jnp.asarray(rng.rand(b, s, n, hf, wf, c).astype(np.float32))
+    depth = jnp.asarray(rng.randn(b, s, n, hf, wf, d).astype(np.float32))
+    geometry = jnp.asarray((rng.rand(b, s, n, d, hf, wf, 3) * 12 - 6).astype(np.float32))
+    ego = jnp.asarray(np.tile(np.array([-1.0, 0, 0, 0, 0, 0.0], np.float32), (b, s, 1)))
+
+    def materialized(ctx, depth):
+        dp = jax.nn.softmax(depth, -1)
+        lifted = jnp.moveaxis(dp, -1, 3)[..., None] * ctx[:, :, :, None]
+        return BP.project_to_birds_eye_view(lifted, geometry, ego, BEV_RES,
+                                            BEV_START, BEV_DIM, method='scatter')
+
+    def fused(ctx, depth):
+        return BP.project_lift_splat_fused(ctx, depth, geometry, ego, BEV_RES,
+                                           BEV_START, BEV_DIM)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(materialized(ctx, depth))
+        out = np.asarray(fused(ctx, depth))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+        gref = jax.grad(lambda a, b_: (materialized(a, b_) ** 2).sum(), argnums=(0, 1))(ctx, depth)
+        gout = jax.grad(lambda a, b_: (fused(a, b_) ** 2).sum(), argnums=(0, 1))(ctx, depth)
+        np.testing.assert_allclose(np.asarray(gout[0]), np.asarray(gref[0]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gout[1]), np.asarray(gref[1]), rtol=1e-4, atol=1e-5)
+
+
 def test_voxelize_matches_reference_quantization():
     pts = np.array([[[-4.99, 0.0, 0.0], [4.99, -4.99, 0.0], [5.01, 0.0, 0.0]]], dtype=np.float32)
     coords, valid = BP.voxelize_coords(jnp.asarray(pts), BEV_RES, BEV_START, BEV_DIM)
