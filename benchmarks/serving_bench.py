@@ -1,0 +1,88 @@
+"""Steady-state serving latency: incremental serve_step vs full forward.
+
+The driver's bench.py reports the reference-faithful full-recompute
+latency; this measures the production serving mode (STP3.serve_step):
+only the new frame is encoded+splatted, past BEV grids are cached and
+grid-warped (stp3_tpu/models/stp3.py serve_step docstring).
+
+Run: python benchmarks/serving_bench.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from __graft_entry__ import _example_inputs, _flagship_cfg  # noqa: E402
+from stp3_tpu.models.stp3 import STP3, STP3Config  # noqa: E402
+from stp3_tpu.utils.precision import cast_floating, policy_dtype  # noqa: E402
+
+
+def main():
+    cfg = _flagship_cfg()
+    mc = STP3Config.from_cfg(cfg)
+    model = STP3(mc)
+    image, k, e, ego = _example_inputs(cfg)
+    rng = np.random.RandomState(0)
+    trajs = jnp.asarray(rng.randn(1, mc.sample_num, mc.n_future, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randn(1, mc.n_future, 3).astype(np.float32))
+    commands = jnp.zeros((1,), jnp.int32)
+    target = jnp.zeros((1, 2), jnp.float32)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), image, k, e, ego, trajs=trajs, gt_trajs=gt,
+        commands=commands, target_points=target, method=STP3.init_full)
+
+    dt = policy_dtype(cfg)
+    variables = cast_floating(variables, dt)
+    image = image.astype(dt)
+    trajs = trajs.astype(dt)
+    target = target.astype(dt)
+
+    nx, ny = mc.bev_size
+    cache0 = jnp.zeros((1, mc.receptive_field - 1, nx, ny,
+                        mc.encoder_out_channels), dt)
+
+    @jax.jit
+    def tick(img, cache):
+        traj, _, new_cache = model.apply(
+            variables, img, k[:, -1], e[:, -1], ego, cache, trajs, commands,
+            target, train=False, method=STP3.serve_step)
+        return traj, new_cache
+
+    img1 = image[:, -1]
+    traj, cache = tick(img1, cache0)
+    float(traj.ravel()[0].astype(jnp.float32))
+
+    def run_chain(n):
+        c = cache0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            traj, c = tick(img1, c)  # cache chaining = serial dependency
+        float(traj.ravel()[0].astype(jnp.float32))
+        return (time.perf_counter() - t0) / n * 1000.0
+
+    reps = [run_chain(5) for _ in range(5)]
+    p50 = float(np.percentile(reps, 50))
+    print(json.dumps({
+        'metric': 'serving_6cam_incremental_plan_latency_p50',
+        'value': round(p50, 2),
+        'unit': 'ms',
+        'vs_baseline': round(100.0 / p50, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

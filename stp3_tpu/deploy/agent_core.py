@@ -28,10 +28,17 @@ from stp3_tpu.utils import sampler as trajectory_sampler
 
 
 class AgentCore:
-    def __init__(self, cfg, params, warmup: bool = True):
+    """incremental=True (default) uses STP3.serve_step: only the new frame
+    is encoded+splatted each tick; past BEV grids come from a rolling cache
+    and are grid-warped to the present (production temporal fusion,
+    ~1/rf of the per-tick encode+splat cost). incremental=False runs the
+    reference-exact full forward every tick."""
+
+    def __init__(self, cfg, params, warmup: bool = True, incremental: bool = True):
         import jax
         import jax.numpy as jnp
 
+        self.incremental = incremental
         self.cfg = cfg
         self.model_cfg = STP3Config.from_cfg(cfg)
         self.model = STP3(self.model_cfg)
@@ -55,6 +62,7 @@ class AgentCore:
         self._intr = np.tile(intr, (1, self.rf, 1, 1, 1))
 
         model, model_cfg = self.model, self.model_cfg
+        from stp3_tpu.models.stp3 import STP3 as _STP3
 
         @jax.jit
         def infer(params, images, intrinsics, extrinsics, future_egomotion,
@@ -72,20 +80,48 @@ class AgentCore:
                                   train=False, method=STP3.plan)
             return traj, out
 
+        @jax.jit
+        def infer_incremental(params, image, intrinsics, extrinsics,
+                              future_egomotion, cached_bev, trajs, commands,
+                              target_points):
+            traj, out, new_cache = model.apply(
+                params, image, intrinsics, extrinsics, future_egomotion,
+                cached_bev, trajs, commands, target_points, train=False,
+                method=_STP3.serve_step)
+            return traj, out, new_cache
+
+        @jax.jit
+        def splat_frame(params, image, intrinsics, extrinsics):
+            bev, _ = model.apply(params, image, intrinsics, extrinsics,
+                                 train=False, method=_STP3.splat_single_frame)
+            return bev
+
         self._infer = infer
+        self._infer_incremental = infer_incremental
+        self._splat_frame = splat_frame
+        self._bev_cache = None
         if warmup:
             self._warmup()
 
     def _warmup(self):
         """Compile the fixed-shape inference once up front."""
         h = self.crop
-        imgs = np.zeros((1, self.rf, 4, h, h, 3), np.float32)
         ego = np.zeros((1, self.rf, 6), np.float32)
         trajs = np.zeros((1, self.n_samples, self.n_future, 3), np.float32)
         cmd = np.zeros((1,), np.int32)
         tp = np.zeros((1, 2), np.float32)
-        traj, _ = self._infer(dict(self.params), imgs, self._intr, self._extr,
-                              ego, trajs, cmd, tp)
+        if self.incremental:
+            img1 = np.zeros((1, 4, h, h, 3), np.float32)
+            bev = self._splat_frame(dict(self.params), img1,
+                                    self._intr[:, 0], self._extr[:, 0])
+            cache = np.zeros((1, self.rf - 1) + bev.shape[1:], np.float32)
+            traj, _, _ = self._infer_incremental(
+                dict(self.params), img1, self._intr[:, 0], self._extr[:, 0],
+                ego, cache, trajs, cmd, tp)
+        else:
+            imgs = np.zeros((1, self.rf, 4, h, h, 3), np.float32)
+            traj, _ = self._infer(dict(self.params), imgs, self._intr,
+                                  self._extr, ego, trajs, cmd, tp)
         np.asarray(traj)
 
     # ------------------------------------------------------------ per tick
@@ -134,15 +170,29 @@ class AgentCore:
     def plan_step(self, speed: float, command_value: int,
                   target_point: np.ndarray) -> Tuple[float, float, bool, Dict]:
         """Full model tick -> (steer, throttle, brake, metadata)."""
-        images = np.stack(list(self.buffer_rgb))[None]           # (1, rf, 4, H, W, 3)
         ego = self._egomotion()
         trajs = trajectory_sampler.sample_trajectories(
             speed, self.last_steer, self.n_future, self.n_samples).astype(np.float32)
         cmd = np.asarray([CARLA_CMD_TO_CODE.get(command_value, CMD_LANE)], np.int32)
         tp = np.asarray(target_point, np.float32)[None]
 
-        traj, _ = self._infer(dict(self.params), images, self._intr, self._extr,
-                              ego, trajs[None, :, 1:], cmd, tp)
+        if self.incremental:
+            new_img = self.buffer_rgb[-1][None]                  # (1, 4, H, W, 3)
+            if self._bev_cache is None:
+                # first planned tick: splat the buffered past frames once
+                past = [self._splat_frame(dict(self.params), f[None],
+                                          self._intr[:, 0], self._extr[:, 0])
+                        for f in list(self.buffer_rgb)[:-1]]
+                import numpy as _np
+                self._bev_cache = _np.stack([_np.asarray(p) for p in past], 1)
+            traj, _, new_cache = self._infer_incremental(
+                dict(self.params), new_img, self._intr[:, 0], self._extr[:, 0],
+                ego, self._bev_cache, trajs[None, :, 1:], cmd, tp)
+            self._bev_cache = new_cache
+        else:
+            images = np.stack(list(self.buffer_rgb))[None]       # (1, rf, 4, H, W, 3)
+            traj, _ = self._infer(dict(self.params), images, self._intr,
+                                  self._extr, ego, trajs[None, :, 1:], cmd, tp)
         waypoints = np.asarray(traj)[0, :, :2]
         steer, throttle, brake, metadata = control_pid(
             waypoints, speed, self.turn_controller, self.speed_controller)

@@ -151,7 +151,12 @@ class BiGRU(nn.Module):
 
 class CausalConv3d(nn.Module):
     """3-D conv with left-only temporal padding, norm + relu
-    (reference temporal.py:252-273). Input (B, T, H, W, C)."""
+    (reference temporal.py:252-273). Input (B, T, H, W, C).
+
+    TPU-first lowering: a (kt, kh, kw) causal conv is computed as kt
+    temporally-shifted 2-D convs batched over (B*T) frames — XLA's TPU
+    3-D conv path is far slower than its tuned 2-D conv for tiny T.
+    Mathematically identical to the VALID 3-D conv on a left-padded input."""
     out_channels: int
     kernel_size: Tuple[int, int, int] = (2, 3, 3)
     dilation: Tuple[int, int, int] = (1, 1, 1)
@@ -160,22 +165,42 @@ class CausalConv3d(nn.Module):
     def __call__(self, x):
         kt, kh, kw = self.kernel_size
         dt, dh, dw = self.dilation
-        tpad = (kt - 1) * dt
+        b, t, h, w, cin = x.shape
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (kt, kh, kw, cin, self.out_channels), x.dtype)
+
+        flat = x.reshape(b * t, h, w, cin)
+        dn = jax.lax.conv_dimension_numbers(
+            flat.shape, (kh, kw, cin, self.out_channels),
+            ('NHWC', 'HWIO', 'NHWC'))
         hpad = ((kh - 1) * dh) // 2
         wpad = ((kw - 1) * dw) // 2
-        x = jnp.pad(x, ((0, 0), (tpad, 0), (hpad, hpad), (wpad, wpad), (0, 0)))
-        x = nn.Conv(self.out_channels, self.kernel_size, kernel_dilation=self.dilation,
-                    padding='VALID', use_bias=False)(x)
-        return nn.relu(Norm()(x))
+
+        out = None
+        for k in range(kt):
+            conv = jax.lax.conv_general_dilated(
+                flat, kernel[k].astype(x.dtype), window_strides=(1, 1),
+                padding=((hpad, hpad), (wpad, wpad)), rhs_dilation=(dh, dw),
+                dimension_numbers=dn)
+            conv = conv.reshape(b, t, h, w, self.out_channels)
+            # kernel tap k sees frame t - (kt - 1 - k) * dt (causal: left pad)
+            shift = (kt - 1 - k) * dt
+            if shift:
+                conv = jnp.pad(conv, ((0, 0), (shift, 0), (0, 0), (0, 0), (0, 0)))[:, :t]
+            out = conv if out is None else out + conv
+        return nn.relu(Norm()(out))
 
 
 class Conv1x1x1NormActivated(nn.Module):
-    """1x1x1 3-D conv + norm + relu (reference temporal.py:315-325)."""
+    """1x1x1 3-D conv + norm + relu (reference temporal.py:315-325).
+    A 1x1x1 conv is a per-position channel matmul -> Dense (identical,
+    avoids the TPU 3-D conv lowering)."""
     out_channels: int
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False)(x)
+        x = nn.Dense(self.out_channels, use_bias=False)(x)
         return nn.relu(Norm()(x))
 
 
@@ -193,7 +218,7 @@ class Bottleneck3D(nn.Module):
         h = CausalConv3d(in_ch // 2, self.kernel_size, self.dilation)(h)
         h = Conv1x1x1NormActivated(out_ch)(h)
         if out_ch != in_ch:
-            skip = nn.Conv(out_ch, (1, 1, 1), use_bias=False)(x)
+            skip = nn.Dense(out_ch, use_bias=False)(x)
             skip = Norm()(skip)
         else:
             skip = x
@@ -260,7 +285,7 @@ class TemporalBlock(nn.Module):
         h = Conv1x1x1NormActivated(out_ch)(h)
 
         if out_ch != in_ch:
-            skip = nn.Conv(out_ch, (1, 1, 1), use_bias=False)(x)
+            skip = nn.Dense(out_ch, use_bias=False)(x)
             skip = Norm()(skip)
         else:
             skip = x

@@ -383,6 +383,98 @@ class STP3(nn.Module):
         output.update(bev_output)
         return output
 
+    # ------------------------------------------------------------- serving
+    def splat_single_frame(self, image, intrinsics, extrinsics, *,
+                           train: bool = False):
+        """Encode + lift + splat ONE frame in its OWN ego frame (no
+        ego-motion pre-warp, no temporal accumulate).
+
+        image (B, N, H, W, 3); returns (bev (B, nx, ny, C),
+        cam_front (B, Hf, Wf, C) or None)."""
+        b = image.shape[0]
+        geometry = get_geometry(jnp.asarray(self.frustum),
+                                intrinsics[:, None], extrinsics[:, None])
+        lifted, _, cam_front = self.encoder_forward(image, train=train)
+        zero_ego = jnp.zeros((b, 1, 6), lifted.dtype)
+        bev = project_to_birds_eye_view(
+            lifted[:, None], geometry, zero_ego,
+            self.bev_resolution, self.bev_start_position, self.bev_dimension,
+            discount=self.cfg.discount)[:, 0]
+        return bev, cam_front
+
+    def serve_step(self, image, intrinsics, extrinsics, future_egomotion,
+                   cached_bev, trajs, commands, target_points, *,
+                   train: bool = False):
+        """Incremental closed-loop inference: only the NEW frame is encoded
+        and splatted; the past frames' BEV grids come from the cache (each
+        in its own ego frame) and are aligned to the present with SE(2)
+        grid warps instead of point-level geometry re-warping.
+
+        This is a deliberate serving-mode approximation (grid resampling vs
+        the reference's point warp, reference stp3.py:269-277): production
+        BEV temporal fusion at 1/rf of the encode+splat cost. Training and
+        open-loop evaluation use the exact full forward.
+
+        image (B, N, H, W, 3) present frame only; future_egomotion
+        (B, rf, 6); cached_bev (B, rf-1, nx, ny, C) per-frame ego-centric
+        splats of the PAST frames (oldest first). Returns
+        (refined_traj, output dict, new_cached_bev)."""
+        from stp3_tpu.ops.warp import cumulative_warp_features
+        c = self.cfg
+        rf = c.receptive_field
+
+        bev_new, cam_front = self.splat_single_frame(
+            image, intrinsics, extrinsics, train=train)
+        frames = jnp.concatenate(
+            [cached_bev.astype(bev_new.dtype), bev_new[:, None]], axis=1)
+
+        # align past grids to the present frame, then the reference's
+        # exponential-discount accumulate over ALIGNED frames
+        aligned = cumulative_warp_features(
+            frames, future_egomotion[:, :rf], mode='bilinear',
+            spatial_extent=c.spatial_extent)
+
+        def step(carry, x_t):
+            nxt = carry * c.discount + x_t
+            return nxt, nxt
+        _, x = jax.lax.scan(step, jnp.zeros_like(aligned[:, 0]),
+                            jnp.swapaxes(aligned, 0, 1))
+        x = jnp.swapaxes(x, 0, 1)                                # (B, rf, nx, ny, C)
+
+        if c.input_egopose:
+            b, s = x.shape[:2]
+            h, w = x.shape[2:4]
+            ego = future_egomotion[:, :rf]
+            ego_shift = jnp.concatenate(
+                [jnp.zeros_like(ego[:, :1]), ego[:, :rf - 1]], axis=1)
+            ego_spatial = jnp.broadcast_to(ego_shift[:, :, None, None, :],
+                                           (b, s, h, w, 6))
+            x = jnp.concatenate([x, ego_spatial.astype(x.dtype)], axis=-1)
+
+        states = self.temporal_model(x, train=train)
+        if c.n_future > 0:
+            present_state = states[:, -1:]
+            if c.probabilistic:
+                sample = self.distribution_forward(present_state, train=train)
+            else:
+                b, _, h, w, _ = present_state.shape
+                sample = jnp.zeros((b, 1, h, w, c.latent_dim), present_state.dtype)
+            states = self.future_prediction(sample, states, train=train)
+        output = self.decoder(states, train=train)
+        output['cam_front'] = cam_front
+
+        seg_pred = output['segmentation'].argmax(-1)
+        ped_pred = (output['pedestrian'].argmax(-1)
+                    if c.predict_pedestrian else jnp.zeros_like(seg_pred))
+        occupancy = jnp.logical_or(seg_pred, ped_pred).astype(x.dtype)
+        gt_dummy = jnp.zeros((image.shape[0], c.n_future, 3), x.dtype)
+        _, traj = self.plan(cam_front, trajs, gt_dummy,
+                            output['costvolume'][:, rf:], occupancy[:, rf:],
+                            output['hdmap'], commands, target_points,
+                            train=False)
+        new_cache = frames[:, 1:]
+        return traj, output, new_cache
+
     # ------------------------------------------------------------- planning
     def plan(self, cam_front, trajs, gt_trajs, cost_volume, semantic_pred,
              hd_map, commands, target_points, *, train: bool = False):

@@ -1,0 +1,47 @@
+"""Temporal layer equivalence: the TPU-friendly unfolded CausalConv3d must
+equal a direct VALID 3-D convolution on a left-padded input."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stp3_tpu.layers.temporal import CausalConv3d, TemporalBlock
+
+
+@pytest.mark.parametrize('kt,dil', [(2, (1, 1, 1)), (1, (1, 1, 1)), (3, (2, 1, 1))])
+def test_causal_conv3d_matches_direct_3d(kt, dil):
+    rng = np.random.RandomState(0)
+    b, t, h, w, cin, cout = 2, 4, 6, 5, 3, 7
+    x = jnp.asarray(rng.randn(b, t, h, w, cin).astype(np.float32))
+    mod = CausalConv3d(cout, kernel_size=(kt, 3, 3), dilation=dil)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(variables, x)
+
+    # oracle: direct 3-D conv, VALID, left temporal pad (the reference's
+    # formulation, temporal.py:252-273), same kernel + norm params
+    kernel = variables['params']['kernel']
+    dt_, dh, dw = dil
+    tpad = (kt - 1) * dt_
+    xp = jnp.pad(x, ((0, 0), (tpad, 0), (1, 1), (1, 1), (0, 0)))
+    dn = jax.lax.conv_dimension_numbers(xp.shape, kernel.shape,
+                                        ('NTHWC', 'THWIO', 'NTHWC'))
+    conv = jax.lax.conv_general_dilated(
+        xp, kernel, window_strides=(1, 1, 1), padding='VALID',
+        rhs_dilation=dil, dimension_numbers=dn)
+    # same GroupNorm afterwards
+    from stp3_tpu.layers.convolutions import Norm
+    norm = Norm()
+    nvars = {'params': variables['params']['Norm_0']}
+    ref = jax.nn.relu(norm.apply(nvars, conv))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_temporal_block_shapes_and_finite():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 3, 8, 8, 12).astype(np.float32))
+    mod = TemporalBlock(16, use_pyramid_pooling=True, pool_sizes=[(2, 8, 8)])
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(variables, x)
+    assert out.shape == (1, 3, 8, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
