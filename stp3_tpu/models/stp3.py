@@ -314,10 +314,14 @@ class STP3(nn.Module):
                 noise = jnp.zeros((b, s, L), mu.dtype)
             return mu + jnp.exp(log_sigma) * noise
 
+        stats = {}
         if c.prob_method == 'GAUSSIAN':
             out = self.present_distribution(present_state, train=train)
             rng = self.make_rng('sample') if train else None
             sample = sample_gaussian(out, rng)
+            stats['present_mu'] = out[:, :, :L]
+            stats['present_log_sigma'] = jnp.clip(out[:, :, L:2 * L],
+                                                  c.min_log_sigma, c.max_log_sigma)
             sample = jnp.broadcast_to(sample[:, :, None, None, :], (b, s, h, w, L))
         elif c.prob_method == 'MIXGAUSSIAN':
             out = self.present_distribution(present_state, train=train)
@@ -326,10 +330,15 @@ class STP3(nn.Module):
             for i in range(3):
                 rng = self.make_rng('sample') if train else None
                 samples.append(sample_gaussian(out[:, :, 2 * i * L:2 * (i + 1) * L], rng))
+            stats['present_mu'] = [out[:, :, 2 * i * L:(2 * i + 1) * L] for i in range(3)]
+            stats['present_log_sigma'] = [
+                jnp.clip(out[:, :, (2 * i + 1) * L:2 * (i + 1) * L],
+                         c.min_log_sigma, c.max_log_sigma) for i in range(3)]
             sample = sum(smp * coef[:, :, i:i + 1] for i, smp in enumerate(samples))
             sample = jnp.broadcast_to(sample[:, :, None, None, :], (b, s, h, w, L))
         elif c.prob_method == 'BERNOULLI':
             log_prob = self.present_distribution(present_state, train=train)  # (B,H,W,L)
+            stats['present_log_prob'] = log_prob
             if train:
                 noise = jax.random.normal(self.make_rng('sample'), (b, h, w, L),
                                           log_prob.dtype)
@@ -338,7 +347,7 @@ class STP3(nn.Module):
             sample = (jnp.exp(log_prob) + noise)[:, None]
         else:
             raise NotImplementedError(c.prob_method)
-        return sample
+        return sample, stats
 
     # -------------------------------------------------------------- forward
     def __call__(self, image, intrinsics, extrinsics, future_egomotion, *,
@@ -373,7 +382,11 @@ class STP3(nn.Module):
         if c.n_future > 0:
             present_state = states[:, -1:]
             if c.probabilistic:
-                sample = self.distribution_forward(present_state, train=train)
+                sample, dist_stats = self.distribution_forward(present_state, train=train)
+                # expose distribution params so losses.probabilistic_loss is
+                # usable (the reference defines ProbabilisticLoss but never
+                # instantiates it, losses.py:137-179 / SURVEY.md §2.2)
+                output.update(dist_stats)
             else:
                 b, _, h, w, _ = present_state.shape
                 sample = jnp.zeros((b, 1, h, w, c.latent_dim), present_state.dtype)
@@ -455,7 +468,7 @@ class STP3(nn.Module):
         if c.n_future > 0:
             present_state = states[:, -1:]
             if c.probabilistic:
-                sample = self.distribution_forward(present_state, train=train)
+                sample, _ = self.distribution_forward(present_state, train=train)
             else:
                 b, _, h, w, _ = present_state.shape
                 sample = jnp.zeros((b, 1, h, w, c.latent_dim), present_state.dtype)

@@ -72,6 +72,26 @@ def test_bf16_train_step_finite():
 
 
 @pytest.mark.slow
+def test_gt_depth_train_step():
+    """LIFT.GT_DEPTH path: depth labels prepared + depth CE loss applied."""
+    cfg = make_test_cfg(BATCHSIZE=2, N_FUTURE_FRAMES=0)
+    cfg.LIFT.GT_DEPTH = True
+    cfg.PROBABILISTIC.ENABLED = False
+    cfg.PLANNING.ENABLED = False
+    cfg.INSTANCE_SEG.ENABLED = False
+    cfg.INSTANCE_FLOW.ENABLED = False
+    trainloader, _ = prepare_dataloaders(cfg)
+    trainer = Trainer(cfg, mesh=make_mesh(2))
+    rng = jax.random.PRNGKey(0)
+    batch = next(iter(trainloader))
+    assert 'depths' in batch
+    state = trainer.init_state(rng, batch)
+    state, loss = trainer.train_step(state, shard_batch(batch, trainer.mesh), rng)
+    assert 'depths' in loss
+    assert np.isfinite(float(loss['total']))
+
+
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """pjit-sharded step == single-device step (SURVEY.md §4). Perception
     config (no future/planning) keeps the graph small."""
