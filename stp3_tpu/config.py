@@ -247,6 +247,18 @@ def _defaults() -> CfgNode:
     _C.CHECKPOINT.KEEP = -1        # save_top_k=-1 equivalent (keep all)
     _C.CHECKPOINT.RESUME = ''
 
+    _C.DEBUG = CfgNode()
+    _C.DEBUG.NAN_CHECK = False     # jax_debug_nans (the reference README's
+                                   # NaN warning, README.md:53; SURVEY.md §5)
+    _C.PROFILE = CfgNode()
+    _C.PROFILE.ENABLED = False     # jax.profiler trace of the first steps
+    _C.PROFILE.DIR = ''            # default: <run_dir>/profile
+    _C.PROFILE.STEPS = 5
+
+    # activation rematerialisation: trade FLOPs for HBM at train time
+    # ('none' | 'encoder')
+    _C.MODEL.REMAT = 'none'
+
     return _C
 
 

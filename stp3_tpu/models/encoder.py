@@ -25,7 +25,9 @@ class Encoder(nn.Module):
     use_depth_distribution: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        # NOTE: ``train`` is positional (not keyword-only) so nn.remat can
+        # mark it static (models/stp3.py setup)
         assert self.downsample == 8, 'only the reference downsample=8 is supported'
         endpoints = EfficientNetFeatures(arch=self.name_backbone)(x, train=train)
         index = 3  # log2(8)

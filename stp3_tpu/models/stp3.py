@@ -97,6 +97,10 @@ class STP3Config:
     # its serial scatter loop measured SLOWER end-to-end than XLA's scatter
     # (130 vs 115 ms; see ops/pallas/bev_pool_kernel.py) — opt-in only
     fused_lift_splat: bool = False
+    # rematerialise encoder activations in backward: trades FLOPs for HBM
+    # (SURVEY.md design stance; 18 camera images at b4 dominate activation
+    # memory). 'none' | 'encoder'
+    remat: str = 'none'
 
     @classmethod
     def from_cfg(cls, cfg) -> "STP3Config":
@@ -135,6 +139,7 @@ class STP3Config:
             gru_state_size=cfg.PLANNING.GRU_STATE_SIZE,
             cost=CostConfig.from_cfg(cfg),
             gt_depth=cfg.LIFT.GT_DEPTH,
+            remat=cfg.MODEL.get('REMAT', 'none'),
         )
 
     @property
@@ -173,10 +178,13 @@ class STP3(nn.Module):
                 list(c.x_bound), list(c.y_bound), list(c.z_bound)))
         self.frustum = create_frustum(c.final_dim, c.encoder_downsample, c.d_bound)
 
-        self.encoder = Encoder(C=c.encoder_out_channels, D=c.depth_channels,
-                               name_backbone=c.encoder_name,
-                               downsample=c.encoder_downsample,
-                               use_depth_distribution=c.use_depth_distribution)
+        # static_argnums counts (module, x, train) -> train is 2
+        encoder_cls = (nn.remat(Encoder, static_argnums=(2,))
+                       if c.remat == 'encoder' else Encoder)
+        self.encoder = encoder_cls(C=c.encoder_out_channels, D=c.depth_channels,
+                                   name_backbone=c.encoder_name,
+                                   downsample=c.encoder_downsample,
+                                   use_depth_distribution=c.use_depth_distribution)
 
         if c.temporal_name == 'identity':
             self.temporal_model = TemporalModelIdentity(c.receptive_field)
@@ -235,7 +243,7 @@ class STP3(nn.Module):
         (reference stp3.py:203-224)."""
         bs, n = x.shape[:2]
         flat = x.reshape(bs * n, *x.shape[2:])
-        feat, depth = self.encoder(flat, train=train)
+        feat, depth = self.encoder(flat, train)
         feat = feat.reshape(bs, n, *feat.shape[1:])             # (BS,N,Hf,Wf,C)
         cam_front = feat[:, self.cfg.cam_front_index] if self.cfg.planning_enabled else None
 
@@ -270,7 +278,7 @@ class STP3(nn.Module):
                      and jax.default_backend() == 'tpu')
         if use_fused:
             flat = image.reshape(b * s * n, *image.shape[3:])
-            feat, depth = self.encoder(flat, train=train)
+            feat, depth = self.encoder(flat, train)
             feat = feat.reshape(b, s, n, *feat.shape[1:])        # (B,S,N,Hf,Wf,C)
             depth = depth.reshape(b, s, n, *depth.shape[1:])     # (B,S,N,Hf,Wf,D)
             cam_front = (feat[:, -1, self.cfg.cam_front_index]

@@ -47,9 +47,17 @@ def main():
     except Exception:
         writer = None
 
+    if cfg.DEBUG.NAN_CHECK:
+        jax.config.update('jax_debug_nans', True)
+
     trainloader, valloader = prepare_dataloaders(cfg)
     trainer = Trainer(cfg)
     print(f'devices: {jax.devices()} mesh: {trainer.mesh}')
+
+    profile_dir = None
+    if cfg.PROFILE.ENABLED:
+        profile_dir = cfg.PROFILE.DIR or os.path.join(save_dir, 'profile')
+        os.makedirs(profile_dir, exist_ok=True)
 
     rng = jax.random.PRNGKey(42)
     first_batch = next(iter(trainloader))
@@ -74,10 +82,15 @@ def main():
     for epoch in range(cfg.EPOCHS):
         for batch in trainloader:
             batch = shard_batch(batch, trainer.mesh)
+            if profile_dir is not None and step == 1:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             state, loss = trainer.train_step(state, batch, rng)
             total = float(loss['total'])
             step += 1
+            if profile_dir is not None and step == 1 + cfg.PROFILE.STEPS:
+                jax.profiler.stop_trace()
+                print(f'profiler trace written to {profile_dir}')
             if step % max(cfg.LOGGING_INTERVAL // 100, 1) == 0 or step <= 3:
                 dt = time.time() - t0
                 print(f'epoch {epoch} step {step} loss {total:.4f} ({dt * 1000:.0f} ms)')
