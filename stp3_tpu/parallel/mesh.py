@@ -32,8 +32,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict on the mesh, batch-dim sharded."""
-    sh = batch_sharding(mesh)
+    """Place a host batch dict on the mesh, batch-dim sharded.
+
+    Falls back to replication when the batch size does not divide the mesh
+    (e.g. the final val batch with drop_last=False) — correct, just not
+    parallel for that batch."""
+    leaves = jax.tree.leaves(batch)
+    n = leaves[0].shape[0] if leaves else 0
+    sh = batch_sharding(mesh) if n % mesh.size == 0 else replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

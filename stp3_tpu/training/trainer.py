@@ -81,8 +81,9 @@ class Trainer:
             self._train_step_impl,
             in_shardings=(rep, bs, rep), out_shardings=(rep, rep),
             donate_argnums=(0,))
-        self._val_forward = jax.jit(
-            self._val_forward_impl, in_shardings=(rep, bs), out_shardings=rep)
+        # val follows whatever sharding shard_batch chose (the final val
+        # batch may be replicated when not divisible by the mesh)
+        self._val_forward = jax.jit(self._val_forward_impl)
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: jax.Array, batch: Dict[str, np.ndarray]) -> TrainState:
