@@ -27,17 +27,49 @@ def _num_groups(channels: int, preferred: int = 8) -> int:
     return max(g, 1)
 
 
+_DEFAULT_NORM = 'gn'
+
+
+def set_default_norm(kind: str) -> None:
+    """Process-wide default normalisation for all layers built afterwards
+    ('gn' | 'ln' | 'bn_frozen' | 'none'); wired from cfg.MODEL.NORM by
+    STP3Config.from_cfg. Construction-time only — do not change between
+    building models with different norms in one process."""
+    global _DEFAULT_NORM
+    assert kind in ('gn', 'ln', 'bn_frozen', 'none'), kind
+    _DEFAULT_NORM = kind
+
+
+def default_norm() -> str:
+    return _DEFAULT_NORM
+
+
 class Norm(nn.Module):
-    """GroupNorm by default ('gn'); 'ln' LayerNorm; 'none' identity."""
-    kind: str = 'gn'
+    """GroupNorm by default ('gn'); 'ln' LayerNorm; 'none' identity;
+    'bn_frozen' inference-mode BatchNorm (fixed running statistics as
+    non-trainable params) — the import target for reference torch
+    checkpoints whose BN statistics must be preserved.
+
+    kind='default' resolves to the process-wide ``set_default_norm`` choice
+    (cfg.MODEL.NORM)."""
+    kind: str = 'default'
     groups: int = 8
 
     @nn.compact
     def __call__(self, x):
-        if self.kind == 'none':
+        kind = default_norm() if self.kind == 'default' else self.kind
+        if kind == 'none':
             return x
-        if self.kind == 'ln':
+        if kind == 'ln':
             return nn.LayerNorm()(x)
+        if kind == 'bn_frozen':
+            c = x.shape[-1]
+            mean = self.param('mean', nn.initializers.zeros, (c,), jnp.float32)
+            var = self.param('var', nn.initializers.ones, (c,), jnp.float32)
+            scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+            inv = jax.lax.rsqrt(var + 1e-5) * scale
+            return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias.astype(x.dtype)
         return nn.GroupNorm(num_groups=_num_groups(x.shape[-1], self.groups))(x)
 
 
@@ -60,7 +92,7 @@ class ConvBlock(nn.Module):
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
-    norm: str = 'gn'
+    norm: str = 'default'
     activation: str = 'relu'
     use_bias: bool = False
     transpose: bool = False

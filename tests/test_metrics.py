@@ -32,6 +32,24 @@ def test_iou_accumulates_across_updates():
     np.testing.assert_allclose(scores[1], 0.5)  # tp=1 fp=1 fn=0
 
 
+def test_iou_state_psum_reducible():
+    """Metric states are additive pytrees: per-shard updates summed ==
+    full-batch update (the DDP dist_reduce_fx='sum' equivalent)."""
+    import jax
+    full = IoUMetric(2)
+    a, b = IoUMetric(2), IoUMetric(2)
+    rng = np.random.RandomState(0)
+    pred = rng.randint(0, 2, (4, 8, 8))
+    tgt = rng.randint(0, 2, (4, 8, 8))
+    full.update(pred, tgt)
+    a.update(pred[:2], tgt[:2])
+    b.update(pred[2:], tgt[2:])
+    summed = jax.tree.map(lambda x, y: x + y, a.state, b.state)
+    for key in full.state:
+        np.testing.assert_array_equal(np.asarray(summed[key]),
+                                      np.asarray(full.state[key]))
+
+
 def test_panoptic_perfect_match():
     m = PanopticMetric(2)
     inst = np.zeros((1, 1, 8, 8), np.int64)
