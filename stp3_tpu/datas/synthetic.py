@@ -204,28 +204,63 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class NumpyLoader:
-    """Minimal batching iterator over an indexable dataset (host-side)."""
+    """Minimal batching iterator over an indexable dataset (host-side).
+
+    ``num_workers > 0`` overlaps per-sample loading with device compute via
+    a thread pool + bounded prefetch queue (the reference's DataLoader
+    worker processes, dataloaders.py:20-25; threads suffice here because
+    the heavy per-sample work — PIL decode, cv2 rasterise, numpy sampling —
+    releases the GIL or is cheap)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0, num_workers: int = 4,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        self.num_workers = num_workers
+        self.prefetch = prefetch
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
         end = (len(idx) // self.batch_size * self.batch_size
                if self.drop_last else len(idx))
-        for i in range(0, end, self.batch_size):
-            chunk = idx[i:i + self.batch_size]
-            yield collate([self.dataset[int(j)] for j in chunk])
+        return [idx[i:i + self.batch_size] for i in range(0, end, self.batch_size)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        if self.num_workers <= 0:
+            for chunk in batches:
+                yield collate([self.dataset[int(j)] for j in chunk])
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            def load(chunk):
+                # samples loaded serially within a batch task: nested
+                # pool.map from a worker can deadlock a saturated pool
+                return collate([self.dataset[int(j)] for j in chunk])
+
+            pending = []
+            it = iter(batches)
+            # keep `prefetch` batches in flight
+            for _ in range(self.prefetch):
+                chunk = next(it, None)
+                if chunk is not None:
+                    pending.append(pool.submit(load, chunk))
+            while pending:
+                fut = pending.pop(0)
+                chunk = next(it, None)
+                if chunk is not None:
+                    pending.append(pool.submit(load, chunk))
+                yield fut.result()

@@ -97,6 +97,20 @@ def main():
             if writer is not None:
                 for k, v in loss.items():
                     writer.add_scalar(f'step_train_loss_{k}', float(v), step)
+            if (writer is not None and cfg.VIS_INTERVAL > 0
+                    and step % cfg.VIS_INTERVAL == 0):
+                # train-time panel video (reference trainer.py:374-375)
+                try:
+                    from stp3_tpu.utils.visualisation import visualise_output
+                    # forward only — must not touch the val metric states
+                    output, labels = trainer._val_forward(state.params, batch)
+                    panel = visualise_output(labels, output, cfg)
+                    import torch
+                    vid = torch.from_numpy(
+                        np.ascontiguousarray(panel.transpose(0, 3, 1, 2))[None])
+                    writer.add_video('train_outputs', vid, global_step=step, fps=2)
+                except Exception as exc:
+                    print(f'train visualisation failed: {exc}')
 
         # validation epoch
         trainer.reset_metrics()
