@@ -58,7 +58,7 @@ def main():
     target = target.astype(dt)
 
     @jax.jit
-    def plan_step(image, k, e, ego, carry):
+    def plan_step(variables, image, k, e, ego, carry):
         # carry creates a serial dependency between iterations so the timing
         # loop cannot be pipelined/elided by the async runtime (the tunneled
         # backend's block_until_ready is unreliable; a data dependency +
@@ -77,14 +77,14 @@ def main():
 
     # compile + warmup
     carry = jnp.zeros((), dt)
-    traj, carry = plan_step(image, k, e, ego, carry)
+    traj, carry = plan_step(variables, image, k, e, ego, carry)
     float(carry)
 
     def run_chain(n):
         c = jnp.zeros((), dt)
         t0 = time.perf_counter()
         for _ in range(n):
-            _, c = plan_step(image, k, e, ego, c)
+            _, c = plan_step(variables, image, k, e, ego, c)
         float(c)  # single readback drains the chain
         return (time.perf_counter() - t0) / n * 1000.0
 

@@ -56,21 +56,21 @@ def main():
                         mc.encoder_out_channels), dt)
 
     @jax.jit
-    def tick(img, cache):
+    def tick(variables, img, cache):
         traj, _, new_cache = model.apply(
             variables, img, k[:, -1], e[:, -1], ego, cache, trajs, commands,
             target, train=False, method=STP3.serve_step)
         return traj, new_cache
 
     img1 = image[:, -1]
-    traj, cache = tick(img1, cache0)
+    traj, cache = tick(variables, img1, cache0)
     float(traj.ravel()[0].astype(jnp.float32))
 
     def run_chain(n):
         c = cache0
         t0 = time.perf_counter()
         for _ in range(n):
-            traj, c = tick(img1, c)  # cache chaining = serial dependency
+            traj, c = tick(variables, img1, c)  # cache chaining = serial dependency
         float(traj.ravel()[0].astype(jnp.float32))
         return (time.perf_counter() - t0) / n * 1000.0
 

@@ -51,9 +51,6 @@ def evaluate(checkpoint_path: str, dataroot: str = '', extra_opts=None,
     _, valloader = prepare_dataloaders(cfg)
     trainer = Trainer(cfg)
 
-    # rebuild params at the right shapes, then load
-    first = next(iter(valloader))
-    state = trainer.init_state(jax.random.PRNGKey(0), first)
     restored = ckpt_lib.load_checkpoint(checkpoint_path)
     params = restored['params']
     print(f'Loaded weights from {checkpoint_path}')

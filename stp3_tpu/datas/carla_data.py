@@ -21,8 +21,7 @@ import numpy as np
 
 from stp3_tpu.utils import sampler as trajectory_sampler
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from stp3_tpu.utils.network import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 # CARLA numeric -> our integer codes (reference :431-438; LANE keeps all
 # candidate trajectories in the planner)

@@ -25,8 +25,7 @@ from stp3_tpu.utils.instance import convert_instance_mask_to_center_and_offset_l
 from stp3_tpu.utils.quaternion import (quat_inverse, quat_to_rotation_matrix,
                                        quat_yaw, transform_matrix, yaw_quat)
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from stp3_tpu.utils.network import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 CMD_CODE = {'LEFT': 0, 'FORWARD': 1, 'RIGHT': 2}
 

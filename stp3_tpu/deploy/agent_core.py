@@ -20,7 +20,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from stp3_tpu.datas.carla_data import (CARLA_CMD_TO_CODE, CMD_LANE,
-                                       IMAGENET_MEAN, IMAGENET_STD,
                                        carla_cam_rig, scale_and_crop_image)
 from stp3_tpu.deploy.control import PIDController, control_pid
 from stp3_tpu.models.stp3 import STP3, STP3Config
@@ -127,7 +126,8 @@ class AgentCore:
     # ------------------------------------------------------------ per tick
     @staticmethod
     def normalise(img: np.ndarray) -> np.ndarray:
-        return (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        from stp3_tpu.utils.network import normalise_image
+        return normalise_image(img)
 
     def push_frame(self, rgb_by_cam: Dict[str, np.ndarray], gps, theta):
         """rgb_by_cam: {'rgb','rgb_left','rgb_right','rgb_rear'} HxWx3 uint8."""

@@ -33,37 +33,39 @@ from stp3_tpu.utils.rasterize import polygon
 # Semantic IoU
 # =====================================================================
 @jax.jit
-def _iou_update(state, prediction, target):
-    n_classes = state['tp'].shape[0]
+def _iou_counts(prediction, target, cls):
+    """Per-call TP/FP/FN/support counts (int32 is safe per batch; the
+    accumulator below is host int64 so long evaluations cannot wrap)."""
     pred = prediction.reshape(-1)
     tgt = target.reshape(-1)
-    cls = jnp.arange(n_classes)[:, None]
     is_p = pred[None, :] == cls
     is_t = tgt[None, :] == cls
-    tp = (is_p & is_t).sum(axis=1)
-    fp = (is_p & ~is_t).sum(axis=1)
-    fn = (~is_p & is_t).sum(axis=1)
-    sup = is_t.sum(axis=1)
-    return {'tp': state['tp'] + tp, 'fp': state['fp'] + fp,
-            'fn': state['fn'] + fn, 'support': state['support'] + sup}
+    return {'tp': (is_p & is_t).sum(axis=1), 'fp': (is_p & ~is_t).sum(axis=1),
+            'fn': (~is_p & is_t).sum(axis=1), 'support': is_t.sum(axis=1)}
 
 
 class IoUMetric:
-    """Reference IntersectionOverUnion (metrics.py:15-71)."""
+    """Reference IntersectionOverUnion (metrics.py:15-71). Per-batch counts
+    are computed on-device (psum-reducible); totals accumulate host-side in
+    int64 (int32 wraps within one nuScenes train-split evaluation)."""
 
     def __init__(self, n_classes: int, ignore_index: Optional[int] = None,
                  absent_score: float = 0.0):
         self.n_classes = n_classes
         self.ignore_index = ignore_index
         self.absent_score = absent_score
+        self._cls = jnp.arange(n_classes)[:, None]
         self.reset()
 
     def reset(self):
-        z = jnp.zeros((self.n_classes,), jnp.int64 if jax.config.x64_enabled else jnp.int32)
-        self.state = {'tp': z, 'fp': z, 'fn': z, 'support': z}
+        z = np.zeros((self.n_classes,), np.int64)
+        self.state = {'tp': z.copy(), 'fp': z.copy(), 'fn': z.copy(),
+                      'support': z.copy()}
 
     def update(self, prediction, target):
-        self.state = _iou_update(self.state, jnp.asarray(prediction), jnp.asarray(target))
+        counts = _iou_counts(jnp.asarray(prediction), jnp.asarray(target), self._cls)
+        self.state = {k: self.state[k] + np.asarray(counts[k], np.int64)
+                      for k in self.state}
 
     def compute(self) -> np.ndarray:
         tp = np.asarray(self.state['tp'], np.float64)

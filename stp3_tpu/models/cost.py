@@ -61,12 +61,17 @@ class CostConfig:
 
 @lru_cache(maxsize=8)
 def ego_footprint_offsets(x_bound: Tuple, y_bound: Tuple, z_bound: Tuple,
-                          ego_w: float, ego_h: float, lambda_cells: int = 0) -> np.ndarray:
+                          ego_w: float, ego_h: float, lambda_pad: float = 0.0) -> np.ndarray:
     """Integer (row, col) cell offsets covered by the ego footprint polygon,
-    relative to the grid origin (reference cost.py:68-81 get_origin_points)."""
+    relative to the grid origin (reference cost.py:68-81 get_origin_points).
+
+    ``lambda_pad`` dilates the footprint by that many METRES on every side.
+    NB the reference passes ``int(LAMBDA / dx)`` here and uses it directly
+    as metres (cost.py:111,71-75) — 2 m for nuScenes, 5 m for CARLA — a
+    units quirk we reproduce exactly (callers pass the same value)."""
     res, start, _ = calculate_birds_eye_view_parameters(list(x_bound), list(y_bound), list(z_bound))
     dx, bx = res[:2], start[:2]
-    lam = lambda_cells * float(dx[0])
+    lam = float(lambda_pad)
     pts = np.array([
         [-ego_h / 2.0 + 0.5 - lam, ego_w / 2.0 + lam],
         [ego_h / 2.0 + 0.5 + lam, ego_w / 2.0 + lam],
@@ -109,9 +114,11 @@ class CostFunction:
         # keep footprints as HOST numpy: CostFunction may be constructed
         # inside a jit trace (Planning.setup), where jnp constants become
         # tracers and break the static shifted-slice construction
-        self._fp0 = ego_footprint_offsets(xb, yb, zb, self.W, self.H, 0)
-        lam_cells = int(self.f_lambda / float(self.dx[0]))
-        self._fp_lam = ego_footprint_offsets(xb, yb, zb, self.W, self.H, lam_cells)
+        self._fp0 = ego_footprint_offsets(xb, yb, zb, self.W, self.H, 0.0)
+        # reference quirk: int(LAMBDA/dx) cells used as METRES of padding
+        # (cost.py:111 -> get_origin_points lambda_)
+        lam_pad = float(int(self.f_lambda / float(self.dx[0])))
+        self._fp_lam = ego_footprint_offsets(xb, yb, zb, self.W, self.H, lam_pad)
 
     @classmethod
     def from_cfg(cls, cfg) -> "CostFunction":

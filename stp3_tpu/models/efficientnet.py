@@ -128,7 +128,10 @@ class EfficientNetFeatures(nn.Module):
         x = nn.swish(Norm()(x))
 
         plan = block_plan(self.arch)
-        n_total = len(block_plan(self.arch, truncate=False))
+        # drop-connect divides by the TRUNCATED block count: the reference
+        # deletes blocks first, then uses len(self.backbone._blocks)
+        # (encoder.py:48-55, model.py drop_connect_rate * idx / len(blocks))
+        n_total = len(plan)
         endpoints: Dict[str, jnp.ndarray] = {}
         prev = x
         for idx, (k, s, e, i, o, se) in enumerate(plan):

@@ -40,13 +40,32 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def _trainable_mask(params):
+    """False for frozen-BN running statistics ('mean'/'var' leaves of the
+    bn_frozen Norm kind) — imported checkpoint stats must not be trained
+    or weight-decayed."""
+    import jax.tree_util as jtu
+
+    def is_trainable(path, _):
+        leaf = path[-1].key if hasattr(path[-1], 'key') else str(path[-1])
+        return leaf not in ('mean', 'var')
+    return jtu.tree_map_with_path(is_trainable, params)
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """Grad-clip 5 -> torch-style Adam L2 weight decay -> Adam
-    (reference train.py:51 gradient_clip_val, trainer.py:456-462)."""
-    return optax.chain(
+    (reference train.py:51 gradient_clip_val, trainer.py:456-462).
+    bn_frozen statistics are masked out entirely."""
+    base = optax.chain(
         optax.clip_by_global_norm(float(cfg.GRAD_NORM_CLIP)),
         optax.add_decayed_weights(float(cfg.OPTIMIZER.WEIGHT_DECAY)),
         optax.adam(float(cfg.OPTIMIZER.LR)),
+    )
+    return optax.chain(
+        optax.masked(base, _trainable_mask),
+        optax.masked(optax.set_to_zero(),
+                     lambda params: jax.tree.map(lambda t: not t,
+                                                 _trainable_mask(params))),
     )
 
 

@@ -38,8 +38,9 @@ def sample(v0: float, kappa: float, t0: np.ndarray, n0: np.ndarray,
     straight_num = m - left_num - right_num
     curve_num = left_num + right_num
 
-    # accelerations in [-3, 7] m/s^2; velocities: keep v0 80% of the time,
-    # otherwise a random one <= 15 m/s (reference sampler.py:29-36)
+    # accelerations in [-3, 7] m/s^2; velocities: keep v0 20% of the time,
+    # otherwise a random one <= 15 m/s (reference sampler.py:29-36:
+    # v_selections = rand >= 0.2 picks the RANDOM row with p=0.8)
     accelerations = 10.0 * (rng.rand(m) - 0.5) + 2.0
     v_random = 15.0 * rng.rand(m)
     keep_v0 = rng.rand(m) < 0.2

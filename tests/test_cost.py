@@ -100,6 +100,25 @@ def test_footprint_map_matches_exact_gather(cf):
         np.testing.assert_allclose(fast, exact, rtol=1e-5, atol=1e-5)
 
 
+def test_lambda_footprint_matches_reference_quirk():
+    """The reference dilates the safety footprint by int(LAMBDA/dx) used as
+    METRES (cost.py:111 + get_origin_points) — 2 m for nuScenes. The dilated
+    footprint must cover (ego + 2*2m) x (ego + 2*2m) of 0.5 m cells."""
+    from stp3_tpu.models.cost import ego_footprint_offsets
+    xb = yb = (-50.0, 50.0, 0.5)
+    zb = (-10.0, 10.0, 20.0)
+    fp0 = ego_footprint_offsets(xb, yb, zb, 1.85, 4.084, 0.0)
+    lam_pad = float(int(1.0 / 0.5))  # LAMBDA=1.0, dx=0.5 -> 2 m
+    fp_lam = ego_footprint_offsets(xb, yb, zb, 1.85, 4.084, lam_pad)
+    # rows span grows by ~2*2m/0.5m = 8 cells on each axis
+    span0 = fp0[:, 0].max() - fp0[:, 0].min()
+    span_lam = fp_lam[:, 0].max() - fp_lam[:, 0].min()
+    assert span_lam - span0 == 8
+    span0c = fp0[:, 1].max() - fp0[:, 1].min()
+    span_lamc = fp_lam[:, 1].max() - fp_lam[:, 1].min()
+    assert span_lamc - span0c == 8
+
+
 def test_aggregate_contract(cf):
     b, n, t = 2, 6, 2
     h, w = int(cf.bev_dimension[0]), int(cf.bev_dimension[1])

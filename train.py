@@ -86,15 +86,18 @@ def main():
                 jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             state, loss = trainer.train_step(state, batch, rng)
-            total = float(loss['total'])
             step += 1
             if profile_dir is not None and step == 1 + cfg.PROFILE.STEPS:
                 jax.profiler.stop_trace()
                 print(f'profiler trace written to {profile_dir}')
-            if step % max(cfg.LOGGING_INTERVAL // 100, 1) == 0 or step <= 3:
+            # host readbacks only at logging points: a float() every step
+            # would serialise async dispatch over the device link
+            log_now = step % max(cfg.LOGGING_INTERVAL // 100, 1) == 0 or step <= 3
+            if log_now:
                 dt = time.time() - t0
-                print(f'epoch {epoch} step {step} loss {total:.4f} ({dt * 1000:.0f} ms)')
-            if writer is not None:
+                print(f'epoch {epoch} step {step} loss {float(loss["total"]):.4f} '
+                      f'({dt * 1000:.0f} ms)')
+            if writer is not None and log_now:
                 for k, v in loss.items():
                     writer.add_scalar(f'step_train_loss_{k}', float(v), step)
             if (writer is not None and cfg.VIS_INTERVAL > 0
