@@ -175,6 +175,22 @@ class CostFunction:
         pad = [(0, 0)] * (grid.ndim - 2) + [(lr, lr), (lc, lc)]
         padded = jnp.pad(grid, pad, mode='edge')
         hext, wext = h + lr, w + lc
+
+        is_rect = fp.shape[0] == (lr + 1) * (lc + 1)
+        if is_rect:
+            # ego footprints are axis-aligned rectangles: the window sum is
+            # a box filter -> integral image, O(1) per cell instead of K
+            # shifted adds (K~320 for the lambda-dilated footprint)
+            ii = jnp.cumsum(jnp.cumsum(padded.astype(jnp.float32), axis=-2), axis=-1)
+            zrow = [(0, 0)] * (grid.ndim - 2) + [(1, 0), (1, 0)]
+            ii = jnp.pad(ii, zrow)
+            r1, c1 = lr + 1, lc + 1
+            out = (ii[..., r1:r1 + hext, c1:c1 + wext]
+                   - ii[..., :hext, c1:c1 + wext]
+                   - ii[..., r1:r1 + hext, :wext]
+                   + ii[..., :hext, :wext]).astype(grid.dtype)
+            return out, rmax, cmax
+
         out = None
         for rr_k, cc_k in fp:
             piece = jax.lax.dynamic_slice_in_dim(
