@@ -48,7 +48,7 @@ def evaluate(checkpoint_path: str, dataroot: str = '', extra_opts=None,
     if extra_opts:
         cfg.merge_from_list(extra_opts)
 
-    _, valloader = prepare_dataloaders(cfg)
+    _, valloader = prepare_dataloaders(cfg, split='val')
     trainer = Trainer(cfg)
 
     restored = ckpt_lib.load_checkpoint(checkpoint_path)

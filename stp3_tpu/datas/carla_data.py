@@ -190,24 +190,8 @@ class CarlaDataset:
         return np.stack([lane, drivable], -1).astype(np.int32)
 
     def get_future_egomotion(self, xs, ys, thetas) -> np.ndarray:
-        from stp3_tpu.ops import geometry as G
-        import jax.numpy as jnp
-        out = []
-        for i in range(len(xs) - 1):
-            def mat(x, y, th):
-                m = np.eye(4, dtype=np.float32)
-                c, s = np.cos(th), np.sin(th)
-                m[:2, :2] = [[c, -s], [s, c]]
-                m[0, 3], m[1, 3] = x, y
-                return m
-            e0 = mat(xs[i], ys[i], thetas[i])
-            e1 = mat(xs[i + 1], ys[i + 1], thetas[i + 1])
-            fe = np.linalg.inv(e1) @ e0
-            fe[3, :3] = 0.0
-            fe[3, 3] = 1.0
-            out.append(np.asarray(G.mat2pose_vec(jnp.asarray(fe)), np.float32))
-        out.append(np.zeros(6, np.float32))  # pad to sequence length
-        return np.stack(out)
+        from stp3_tpu.utils.quaternion import se2_egomotion_vec
+        return se2_egomotion_vec(xs, ys, thetas)
 
     # ------------------------------------------------------------ __getitem__
     def __getitem__(self, index) -> Dict[str, np.ndarray]:

@@ -12,27 +12,35 @@ from __future__ import annotations
 from stp3_tpu.datas.synthetic import NumpyLoader, SyntheticDataset
 
 
-def prepare_dataloaders(cfg, return_dataset: bool = False):
+def prepare_dataloaders(cfg, return_dataset: bool = False, split: str = 'both'):
+    """split: 'both' | 'val' — evaluation only needs the val dataset (the
+    train split's index build / CAN-bus / map loading is expensive)."""
     name = cfg.DATASET.NAME
+    need_train = split != 'val'
+    traindata = None
     if name == 'synthetic':
         n_train = 10 if cfg.DATASET.VERSION == 'mini' else 64
-        traindata = SyntheticDataset(cfg, n_samples=n_train, seed=0)
+        if need_train:
+            traindata = SyntheticDataset(cfg, n_samples=n_train, seed=0)
         valdata = SyntheticDataset(cfg, n_samples=max(4, n_train // 4), seed=1)
     elif name == 'nuscenes':
         from stp3_tpu.datas.nuscenes_data import FuturePredictionDataset, make_nusc
         nusc = make_nusc(cfg)
-        traindata = FuturePredictionDataset(nusc, 0, cfg)
+        if need_train:
+            traindata = FuturePredictionDataset(nusc, 0, cfg)
+            if cfg.DATASET.VERSION == 'mini':
+                traindata.indices = traindata.indices[:10]
         valdata = FuturePredictionDataset(nusc, 1, cfg)
-        if cfg.DATASET.VERSION == 'mini':
-            traindata.indices = traindata.indices[:10]
     elif name == 'carla':
         from stp3_tpu.datas.carla_data import CarlaDataset
-        traindata = CarlaDataset(cfg.DATASET.DATAROOT, True, cfg)
+        if need_train:
+            traindata = CarlaDataset(cfg.DATASET.DATAROOT, True, cfg)
         valdata = CarlaDataset(cfg.DATASET.DATAROOT, False, cfg)
     else:
         raise NotImplementedError(name)
 
-    trainloader = NumpyLoader(traindata, cfg.BATCHSIZE, shuffle=True, drop_last=True)
+    trainloader = (NumpyLoader(traindata, cfg.BATCHSIZE, shuffle=True, drop_last=True)
+                   if traindata is not None else None)
     valloader = NumpyLoader(valdata, cfg.BATCHSIZE, shuffle=False, drop_last=False)
     if return_dataset:
         return trainloader, valloader, traindata, valdata

@@ -285,7 +285,7 @@ class FuturePredictionDataset:
                 pedestrian.astype(np.int32), instance_map)
 
     def get_future_egomotion(self, rec, index) -> np.ndarray:
-        from stp3_tpu.ops import geometry as G
+        from stp3_tpu.utils.quaternion import mat2pose_vec_np
         future_egomotion = np.eye(4, dtype=np.float32)
         if index < len(self.ixes) - 1:
             rec_t1 = self.ixes[index + 1]
@@ -300,8 +300,7 @@ class FuturePredictionDataset:
                 future_egomotion = (np.linalg.inv(e1) @ e0).astype(np.float32)
                 future_egomotion[3, :3] = 0.0
                 future_egomotion[3, 3] = 1.0
-        import jax.numpy as jnp
-        return np.asarray(G.mat2pose_vec(jnp.asarray(future_egomotion)), np.float32)
+        return mat2pose_vec_np(future_egomotion)
 
     # ------------------------------------------------------------ planning
     def get_trajectory_sampling(self, rec) -> np.ndarray:

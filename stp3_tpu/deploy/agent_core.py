@@ -147,25 +147,10 @@ class AgentCore:
         return len(self.buffer_rgb) >= self.rf and self.step_count >= self.rf + 1
 
     def _egomotion(self) -> np.ndarray:
-        from stp3_tpu.ops import geometry as G
-        import jax.numpy as jnp
+        from stp3_tpu.utils.quaternion import se2_egomotion_vec
         xs = [g[0] for g in self.buffer_gps]
         ys = [g[1] for g in self.buffer_gps]
-        ths = list(self.buffer_theta)
-        out = []
-        for i in range(len(xs) - 1):
-            def mat(x, y, th):
-                m = np.eye(4, dtype=np.float32)
-                c, s = np.cos(th), np.sin(th)
-                m[:2, :2] = [[c, -s], [s, c]]
-                m[0, 3], m[1, 3] = x, y
-                return m
-            fe = np.linalg.inv(mat(xs[i + 1], ys[i + 1], ths[i + 1])) @ mat(xs[i], ys[i], ths[i])
-            fe[3, :3] = 0.0
-            fe[3, 3] = 1.0
-            out.append(np.asarray(G.mat2pose_vec(jnp.asarray(fe)), np.float32))
-        out.append(np.zeros(6, np.float32))
-        return np.stack(out)[None]                               # (1, rf, 6)
+        return se2_egomotion_vec(xs, ys, list(self.buffer_theta))[None]  # (1, rf, 6)
 
     def plan_step(self, speed: float, command_value: int,
                   target_point: np.ndarray) -> Tuple[float, float, bool, Dict]:

@@ -38,6 +38,19 @@ from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
                                    create_frustum, get_geometry)
 
 
+def _cam_front_index(names) -> int:
+    """Index of the front camera in cfg.IMAGE.NAMES. nuScenes order puts
+    CAM_FRONT at 1 (the reference's hardcoded cam_front_index=1,
+    stp3.py:203). NB for CARLA the reference reuses index 1, which is the
+    LEFT camera in its rig order (front,left,right,rear) — an apparent
+    reference bug; we resolve by name instead and take the actual front."""
+    lowered = [str(n).lower() for n in names]
+    for i, n in enumerate(lowered):
+        if n in ('cam_front', 'front'):
+            return i
+    return 1 if len(names) > 1 else 0
+
+
 @dataclasses.dataclass(frozen=True)
 class STP3Config:
     """Hashable model config (the subset of the cfg tree the model reads)."""
@@ -142,6 +155,7 @@ class STP3Config:
             cost=CostConfig.from_cfg(cfg),
             gt_depth=cfg.LIFT.GT_DEPTH,
             remat=cfg.MODEL.get('REMAT', 'none'),
+            cam_front_index=_cam_front_index(cfg.IMAGE.NAMES),
         )
 
     @property

@@ -24,7 +24,7 @@ def save_checkpoint(ckpt_dir: str, step: int, params, opt_state=None,
                     cfg_dict: Optional[Dict[str, Any]] = None) -> str:
     path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
     ckptr = ocp.StandardCheckpointer()
-    payload = {'params': params}
+    payload = {'params': params, 'step': np.int64(step)}
     if opt_state is not None:
         payload['opt_state'] = opt_state
     ckptr.save(os.path.join(path, 'state'), payload, force=True)

@@ -321,8 +321,10 @@ class Trainer:
             self.metric_panoptic_val.update(
                 consistent[:, rf - 1:], np.asarray(labels['instance'])[:, rf - 1:])
         if self.metric_planning_val is not None:
-            occupancy = np.logical_or(np.asarray(labels['segmentation'])[:, rf:],
-                                      np.asarray(labels['pedestrian'])[:, rf:])
+            seg_lab = np.asarray(labels['segmentation'])[:, rf:]
+            ped_lab = (np.asarray(labels['pedestrian'])[:, rf:]
+                       if 'pedestrian' in labels else np.zeros_like(seg_lab))
+            occupancy = np.logical_or(seg_lab, ped_lab)
             self.metric_planning_val.update(
                 np.asarray(output['final_traj']),
                 np.asarray(labels['gt_trajectory'])[:, 1:], occupancy)

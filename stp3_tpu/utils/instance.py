@@ -20,9 +20,26 @@ from scipy.optimize import linear_sum_assignment
 # --------------------------------------------------------------------------
 # numpy SE(2) warp (same math as ops/warp.py warp_features, nearest mode)
 # --------------------------------------------------------------------------
+def _euler2mat_np(angle: np.ndarray) -> np.ndarray:
+    # closed-form R = Rx @ Ry @ Rz (same as ops.geometry.euler2mat), numpy
+    x, y, z = angle[..., 0], angle[..., 1], angle[..., 2]
+    cz, sz, cy, sy, cx, sx = np.cos(z), np.sin(z), np.cos(y), np.sin(y), np.cos(x), np.sin(x)
+    r = np.stack([
+        cy * cz, -cy * sz, sy,
+        cx * sz + sx * sy * cz, cx * cz - sx * sy * sz, -sx * cy,
+        sx * sz - cx * sy * cz, sx * cz + cx * sy * sz, cx * cy,
+    ], axis=-1)
+    return r.reshape(angle.shape[:-1] + (3, 3))
+
+
 def _pose_vec2mat_np(vec: np.ndarray) -> np.ndarray:
-    from stp3_tpu.ops import geometry as G
-    return np.asarray(G.pose_vec2mat(vec[None]))[0] if vec.ndim == 1 else np.asarray(G.pose_vec2mat(vec))
+    vec = np.asarray(vec)
+    rot = _euler2mat_np(vec[..., 3:])
+    out = np.zeros(vec.shape[:-1] + (4, 4), np.float32)
+    out[..., :3, :3] = rot
+    out[..., :3, 3] = vec[..., :3]
+    out[..., 3, 3] = 1.0
+    return out
 
 
 def warp_features_np(x: np.ndarray, flow: np.ndarray, spatial_extent) -> np.ndarray:
@@ -72,9 +89,10 @@ def convert_instance_mask_to_center_and_offset_label(
                        np.arange(w, dtype=np.float32), indexing='ij')
 
     if subtract_egomotion:
-        from stp3_tpu.ops import geometry as G
-        inv = np.asarray(G.mat2pose_vec(G.invert_pose_matrix(
-            G.pose_vec2mat(future_egomotion))))
+        from stp3_tpu.utils.quaternion import mat2pose_vec_np
+        mats = _pose_vec2mat_np(np.asarray(future_egomotion))
+        invs = np.linalg.inv(mats)
+        inv = mat2pose_vec_np(invs)
 
     warped_instance_seg = {}
     for t in range(1, seq_len):

@@ -52,6 +52,46 @@ def yaw_from_matrix(mat: np.ndarray) -> float:
     return float(np.arctan2(v[1], v[0]))
 
 
+def mat2pose_vec_np(matrix: np.ndarray) -> np.ndarray:
+    """Pure-numpy 4x4 pose -> (tx,ty,tz,rx,ry,rz); same math as
+    ops.geometry.mat2pose_vec but host-side — data workers and the serving
+    tick must not make eager device dispatches (batched use stays jnp)."""
+    m = np.asarray(matrix)
+    rotx = np.arctan2(-m[..., 1, 2], m[..., 2, 2])
+    cosy = np.sqrt(m[..., 1, 2] ** 2 + m[..., 2, 2] ** 2)
+    roty = np.arctan2(m[..., 0, 2], cosy)
+    rotz = np.arctan2(-m[..., 0, 1], m[..., 0, 0])
+    return np.concatenate([
+        m[..., :3, 3],
+        np.stack([rotx, roty, rotz], axis=-1)], axis=-1).astype(np.float32)
+
+
+def se2_pose_matrix(x: float, y: float, theta: float) -> np.ndarray:
+    """4x4 pose of a planar (x, y, yaw) state."""
+    m = np.eye(4, dtype=np.float32)
+    c, s = np.cos(theta), np.sin(theta)
+    m[:2, :2] = [[c, -s], [s, c]]
+    m[0, 3], m[1, 3] = x, y
+    return m
+
+
+def se2_egomotion_vec(xs, ys, thetas) -> np.ndarray:
+    """Per-step 6-DoF egomotion vectors vec(inv(e_{t+1}) @ e_t) from planar
+    trajectories, zero-padded to the sequence length — the single shared
+    implementation for the CARLA dataset, nuScenes-style callers, and the
+    serving tick (keeps the sign convention in ONE place)."""
+    out = []
+    for i in range(len(xs) - 1):
+        e0 = se2_pose_matrix(xs[i], ys[i], thetas[i])
+        e1 = se2_pose_matrix(xs[i + 1], ys[i + 1], thetas[i + 1])
+        fe = np.linalg.inv(e1) @ e0
+        fe[3, :3] = 0.0
+        fe[3, 3] = 1.0
+        out.append(mat2pose_vec_np(fe))
+    out.append(np.zeros(6, np.float32))
+    return np.stack(out)
+
+
 def transform_matrix(translation, rotation_q, inverse: bool = False) -> np.ndarray:
     """4x4 rigid transform from translation + quaternion (the devkit's
     geometry_utils.transform_matrix)."""

@@ -75,8 +75,9 @@ def main():
     if cfg.CHECKPOINT.RESUME:
         restored = ckpt_lib.load_checkpoint(cfg.CHECKPOINT.RESUME)
         state = state.replace(params=restored['params'],
-                              opt_state=restored.get('opt_state', state.opt_state))
-        print(f'resumed from {cfg.CHECKPOINT.RESUME}')
+                              opt_state=restored.get('opt_state', state.opt_state),
+                              step=int(restored.get('step', 0)))
+        print(f'resumed from {cfg.CHECKPOINT.RESUME} at step {int(state.step)}')
 
     step = int(state.step)
     for epoch in range(cfg.EPOCHS):
@@ -92,7 +93,7 @@ def main():
                 print(f'profiler trace written to {profile_dir}')
             # host readbacks only at logging points: a float() every step
             # would serialise async dispatch over the device link
-            log_now = step % max(cfg.LOGGING_INTERVAL // 100, 1) == 0 or step <= 3
+            log_now = step % max(cfg.LOGGING_INTERVAL, 1) == 0 or step <= 3
             if log_now:
                 dt = time.time() - t0
                 print(f'epoch {epoch} step {step} loss {float(loss["total"]):.4f} '
