@@ -51,9 +51,15 @@ class Norm(nn.Module):
     checkpoints whose BN statistics must be preserved.
 
     kind='default' resolves to the process-wide ``set_default_norm`` choice
-    (cfg.MODEL.NORM)."""
+    (cfg.MODEL.NORM).
+
+    ``eps`` is used by the bn_frozen branch only: torch BatchNorm defaults
+    to 1e-5, but efficientnet_pytorch builds its BNs with eps=1e-3
+    (batch_norm_epsilon) — the EfficientNet trunk passes eps=1e-3 so
+    imported reference statistics normalise identically."""
     kind: str = 'default'
     groups: int = 8
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -68,7 +74,7 @@ class Norm(nn.Module):
             var = self.param('var', nn.initializers.ones, (c,), jnp.float32)
             scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
             bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
-            inv = jax.lax.rsqrt(var + 1e-5) * scale
+            inv = jax.lax.rsqrt(var + self.eps) * scale
             return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias.astype(x.dtype)
         return nn.GroupNorm(num_groups=_num_groups(x.shape[-1], self.groups))(x)
 
@@ -131,12 +137,20 @@ class Bottleneck(nn.Module):
         h = nn.Conv(bneck, (1, 1), use_bias=False)(x)
         h = nn.relu(Norm()(h))
         k = (self.kernel_size, self.kernel_size)
+        # explicit torch-style padding (k//2) instead of 'SAME': identical for
+        # stride 1, and for the strided variants it reproduces the reference's
+        # window alignment exactly (ConvTranspose2d(p=k//2, output_padding=k//2)
+        # / Conv2d(p=k//2)) so imported torch weights are bit-compatible
+        p = self.kernel_size // 2
         if self.upsample:
-            h = nn.ConvTranspose(bneck, k, strides=(2, 2), padding='SAME', use_bias=False)(h)
+            h = nn.ConvTranspose(bneck, k, strides=(2, 2),
+                                 padding=((p, p + 1), (p, p + 1)),
+                                 transpose_kernel=True, use_bias=False)(h)
         elif self.downsample:
-            h = nn.Conv(bneck, k, strides=(2, 2), padding='SAME', use_bias=False)(h)
+            h = nn.Conv(bneck, k, strides=(2, 2), padding=((p, p), (p, p)),
+                        use_bias=False)(h)
         else:
-            h = nn.Conv(bneck, k, padding='SAME', use_bias=False)(h)
+            h = nn.Conv(bneck, k, padding=((p, p), (p, p)), use_bias=False)(h)
         h = nn.relu(Norm()(h))
         h = nn.Conv(out_ch, (1, 1), use_bias=False)(h)
         h = nn.relu(Norm()(h))

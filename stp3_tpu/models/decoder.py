@@ -24,10 +24,13 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit pad 1 (torch-style) rather than 'SAME': identical at
+        # stride 1, and reproduces torchvision's window alignment at stride 2
+        # so imported resnet18 weights are bit-compatible
         h = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride),
-                    padding='SAME', use_bias=False)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
         h = nn.relu(Norm()(h))
-        h = nn.Conv(self.channels, (3, 3), padding='SAME', use_bias=False)(h)
+        h = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)), use_bias=False)(h)
         h = Norm()(h)
         if self.stride != 1 or x.shape[-1] != self.channels:
             x = nn.Conv(self.channels, (1, 1), strides=(self.stride, self.stride),
@@ -67,16 +70,23 @@ class Decoder(nn.Module):
         flat = x.reshape(b * s, h, w, c)
         skip1 = flat
 
-        # H/2
-        t = nn.Conv(64, (7, 7), strides=(2, 2), padding='SAME', use_bias=False)(flat)
+        # H/2 (pad 3 = torch first_conv padding, reference decoder.py:24)
+        t = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False)(flat)
         t = nn.relu(Norm()(t))
-        t = BasicBlock(64)(BasicBlock(64)(t))
+        # sequential calls (not nested expressions) so flax construction
+        # order == call order: BasicBlock_2/_4 are the strided blocks,
+        # matching torchvision layer{2,3}.0 for weight import
+        t = BasicBlock(64)(t)
+        t = BasicBlock(64)(t)
         skip2 = t
         # H/4
-        t = BasicBlock(128)(BasicBlock(128, stride=2)(t))
+        t = BasicBlock(128, stride=2)(t)
+        t = BasicBlock(128)(t)
         skip3 = t
         # H/8
-        t = BasicBlock(256)(BasicBlock(256, stride=2)(t))
+        t = BasicBlock(256, stride=2)(t)
+        t = BasicBlock(256)(t)
 
         t = UpsamplingAdd(128)(t, skip3)
         t = UpsamplingAdd(64)(t, skip2)

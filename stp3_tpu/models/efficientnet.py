@@ -92,15 +92,15 @@ class MBConv(nn.Module):
         h = x
         if self.expand != 1:
             h = nn.Conv(in_ch * self.expand, (1, 1), use_bias=False)(h)
-            h = nn.swish(Norm()(h))
+            h = nn.swish(Norm(eps=1e-3)(h))
         mid = h.shape[-1]
         h = nn.Conv(mid, (self.kernel, self.kernel), strides=(self.stride, self.stride),
                     padding='SAME', feature_group_count=mid, use_bias=False)(h)
-        h = nn.swish(Norm()(h))
+        h = nn.swish(Norm(eps=1e-3)(h))
         if self.se_ratio > 0:
             h = SqueezeExcite(max(1, int(in_ch * self.se_ratio)))(h)
         h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
-        h = Norm()(h)
+        h = Norm(eps=1e-3)(h)
         if self.stride == 1 and in_ch == self.out_ch:
             if self.drop_rate > 0:
                 # stochastic depth (drop-connect): drop the whole residual path
@@ -125,7 +125,7 @@ class EfficientNetFeatures(nn.Module):
         width, depth, drop_connect = _SCALING[self.arch]
         stem_ch = round_filters(32, width)
         x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding='SAME', use_bias=False)(x)
-        x = nn.swish(Norm()(x))
+        x = nn.swish(Norm(eps=1e-3)(x))  # efficientnet_pytorch batch_norm_epsilon
 
         plan = block_plan(self.arch)
         # drop-connect divides by the TRUNCATED block count: the reference
