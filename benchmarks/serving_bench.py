@@ -62,26 +62,50 @@ def main():
             target, train=False, method=STP3.serve_step)
         return traj, new_cache
 
-    img1 = image[:, -1]
-    traj, cache = tick(variables, img1, cache0)
-    float(traj.ravel()[0].astype(jnp.float32))
+    # static-geometry splat plan (fixed rig; ops/static_splat.py)
+    from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
+                                       create_frustum)
+    from stp3_tpu.ops.static_splat import build_static_splat_plan
+    res, start, dim = calculate_birds_eye_view_parameters(
+        cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
+    frustum = create_frustum(tuple(cfg.IMAGE.FINAL_DIM),
+                             cfg.MODEL.ENCODER.DOWNSAMPLE,
+                             tuple(cfg.LIFT.D_BOUND))
+    plan = build_static_splat_plan(frustum, np.asarray(k)[0, 0],
+                                   np.asarray(e)[0, 0], res, start, dim)
+    buckets = plan.device_buckets()
 
-    def run_chain(n):
+    @jax.jit
+    def tick_static(variables, img, cache, buckets):
+        traj, _, new_cache = model.apply(
+            variables, img, ego, cache, trajs, commands, target, buckets,
+            train=False, method=STP3.serve_step_static)
+        return traj, new_cache
+
+    img1 = image[:, -1]
+
+    def run_chain(fn, n, *extra):
         c = cache0
         t0 = time.perf_counter()
         for _ in range(n):
-            traj, c = tick(variables, img1, c)  # cache chaining = serial dependency
+            traj, c = fn(variables, img1, c, *extra)  # cache chain = serial dep
         float(traj.ravel()[0].astype(jnp.float32))
         return (time.perf_counter() - t0) / n * 1000.0
 
-    reps = [run_chain(5) for _ in range(5)]
-    p50 = float(np.percentile(reps, 50))
-    print(json.dumps({
-        'metric': 'serving_6cam_incremental_plan_latency_p50',
-        'value': round(p50, 2),
-        'unit': 'ms',
-        'vs_baseline': round(100.0 / p50, 3),
-    }))
+    for name, fn, extra in [
+            ('serving_6cam_incremental_plan_latency_p50', tick, ()),
+            ('serving_6cam_static_splat_plan_latency_p50', tick_static,
+             (buckets,))]:
+        traj, _ = fn(variables, img1, cache0, *extra)   # compile
+        float(traj.ravel()[0].astype(jnp.float32))
+        reps = [run_chain(fn, 5, *extra) for _ in range(5)]
+        p50 = float(np.percentile(reps, 50))
+        print(json.dumps({
+            'metric': name,
+            'value': round(p50, 2),
+            'unit': 'ms',
+            'vs_baseline': round(100.0 / p50, 3),
+        }))
 
 
 if __name__ == '__main__':

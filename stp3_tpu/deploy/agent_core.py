@@ -31,13 +31,21 @@ class AgentCore:
     is encoded+splatted each tick; past BEV grids come from a rolling cache
     and are grid-warped to the present (production temporal fusion,
     ~1/rf of the per-tick encode+splat cost). incremental=False runs the
-    reference-exact full forward every tick."""
+    reference-exact full forward every tick.
 
-    def __init__(self, cfg, params, warmup: bool = True, incremental: bool = True):
+    static_geometry=True (default, incremental mode only) additionally
+    precomputes the point->cell splat plan from the fixed CARLA rig
+    (ops/static_splat.py): the per-tick splat becomes static-index gathers
+    instead of a scatter-add (exact to float tolerance;
+    tests/test_static_splat.py)."""
+
+    def __init__(self, cfg, params, warmup: bool = True,
+                 incremental: bool = True, static_geometry: bool = True):
         import jax
         import jax.numpy as jnp
 
         self.incremental = incremental
+        self.static_geometry = static_geometry and incremental
         self.cfg = cfg
         self.model_cfg = STP3Config.from_cfg(cfg)
         self.model = STP3(self.model_cfg)
@@ -99,8 +107,58 @@ class AgentCore:
         self._infer_incremental = infer_incremental
         self._splat_frame = splat_frame
         self._bev_cache = None
+
+        self._splat_buckets = None
+        if self.static_geometry:
+            from stp3_tpu.ops.geometry import (
+                calculate_birds_eye_view_parameters, create_frustum)
+            from stp3_tpu.ops.static_splat import build_static_splat_plan
+            res, start, dim = calculate_birds_eye_view_parameters(
+                cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
+            frustum = create_frustum(tuple(cfg.IMAGE.FINAL_DIM),
+                                     cfg.MODEL.ENCODER.DOWNSAMPLE,
+                                     tuple(cfg.LIFT.D_BOUND))
+            plan = build_static_splat_plan(frustum, intr, extr,
+                                           res, start, dim)
+            self._splat_buckets = plan.device_buckets()
+
+            @jax.jit
+            def infer_incremental_static(params, image, future_egomotion,
+                                         cached_bev, trajs, commands,
+                                         target_points, buckets):
+                traj, out, new_cache = model.apply(
+                    params, image, future_egomotion, cached_bev, trajs,
+                    commands, target_points, buckets, train=False,
+                    method=_STP3.serve_step_static)
+                return traj, out, new_cache
+
+            @jax.jit
+            def splat_frame_static(params, image, buckets):
+                bev, _ = model.apply(params, image, buckets, train=False,
+                                     method=_STP3.splat_single_frame_static)
+                return bev
+
+            self._infer_incremental_static = infer_incremental_static
+            self._splat_frame_static = splat_frame_static
         if warmup:
             self._warmup()
+
+    def _splat_one(self, img):
+        """Splat one (1, N, H, W, 3) frame via the static plan when enabled."""
+        if self.static_geometry:
+            return self._splat_frame_static(dict(self.params), img,
+                                            self._splat_buckets)
+        return self._splat_frame(dict(self.params), img,
+                                 self._intr[:, 0], self._extr[:, 0])
+
+    def _serve_one(self, img, ego, cache, trajs, cmd, tp):
+        if self.static_geometry:
+            return self._infer_incremental_static(
+                dict(self.params), img, ego, cache, trajs, cmd, tp,
+                self._splat_buckets)
+        return self._infer_incremental(
+            dict(self.params), img, self._intr[:, 0], self._extr[:, 0],
+            ego, cache, trajs, cmd, tp)
 
     def _warmup(self):
         """Compile the fixed-shape inference once up front."""
@@ -111,12 +169,9 @@ class AgentCore:
         tp = np.zeros((1, 2), np.float32)
         if self.incremental:
             img1 = np.zeros((1, 4, h, h, 3), np.float32)
-            bev = self._splat_frame(dict(self.params), img1,
-                                    self._intr[:, 0], self._extr[:, 0])
+            bev = self._splat_one(img1)
             cache = np.zeros((1, self.rf - 1) + bev.shape[1:], np.float32)
-            traj, _, _ = self._infer_incremental(
-                dict(self.params), img1, self._intr[:, 0], self._extr[:, 0],
-                ego, cache, trajs, cmd, tp)
+            traj, _, _ = self._serve_one(img1, ego, cache, trajs, cmd, tp)
         else:
             imgs = np.zeros((1, self.rf, 4, h, h, 3), np.float32)
             traj, _ = self._infer(dict(self.params), imgs, self._intr,
@@ -165,14 +220,12 @@ class AgentCore:
             new_img = self.buffer_rgb[-1][None]                  # (1, 4, H, W, 3)
             if self._bev_cache is None:
                 # first planned tick: splat the buffered past frames once
-                past = [self._splat_frame(dict(self.params), f[None],
-                                          self._intr[:, 0], self._extr[:, 0])
+                past = [self._splat_one(f[None])
                         for f in list(self.buffer_rgb)[:-1]]
                 import numpy as _np
                 self._bev_cache = _np.stack([_np.asarray(p) for p in past], 1)
-            traj, _, new_cache = self._infer_incremental(
-                dict(self.params), new_img, self._intr[:, 0], self._extr[:, 0],
-                ego, self._bev_cache, trajs[None, :, 1:], cmd, tp)
+            traj, _, new_cache = self._serve_one(
+                new_img, ego, self._bev_cache, trajs[None, :, 1:], cmd, tp)
             self._bev_cache = new_cache
         else:
             images = np.stack(list(self.buffer_rgb))[None]       # (1, rf, 4, H, W, 3)

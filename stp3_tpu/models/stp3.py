@@ -456,12 +456,58 @@ class STP3(nn.Module):
         (B, rf, 6); cached_bev (B, rf-1, nx, ny, C) per-frame ego-centric
         splats of the PAST frames (oldest first). Returns
         (refined_traj, output dict, new_cached_bev)."""
+        bev_new, cam_front = self.splat_single_frame(
+            image, intrinsics, extrinsics, train=train)
+        return self._serve_tail(bev_new, cam_front, cached_bev,
+                                future_egomotion, trajs, commands,
+                                target_points, train=train)
+
+    def splat_single_frame_static(self, image, plan_buckets, *,
+                                  train: bool = False):
+        """Encode + splat ONE frame with a precomputed static-geometry plan
+        (fixed camera rig; ops.static_splat). No scatter, no sort — the
+        point->cell crossings are gathered with static indices.
+
+        image (B, N, H, W, 3); plan_buckets from
+        StaticSplatPlan.device_buckets(). Returns (bev, cam_front)."""
+        from stp3_tpu.ops.static_splat import static_splat
+        c = self.cfg
+        bs, n = image.shape[:2]
+        flat = image.reshape(bs * n, *image.shape[2:])
+        feat, depth = self.encoder(flat, train)
+        feat = feat.reshape(bs, n, *feat.shape[1:])           # (B,N,Hf,Wf,C)
+        cam_front = feat[:, c.cam_front_index] if c.planning_enabled else None
+        ch = feat.shape[-1]
+        ctx = feat.reshape(bs, -1, ch)                        # (B, rays, C)
+        if c.use_depth_distribution:
+            depth = depth.reshape(bs, n, *depth.shape[1:])
+            dp = jax.nn.softmax(depth, axis=-1).reshape(bs, -1, c.depth_channels)
+        else:
+            dp = jnp.ones(ctx.shape[:-1] + (c.depth_channels,), ctx.dtype)
+        nx, ny = c.bev_size
+        bev = static_splat(ctx, dp, plan_buckets, (nx, ny, 1))
+        return bev, cam_front
+
+    def serve_step_static(self, image, future_egomotion, cached_bev, trajs,
+                          commands, target_points, plan_buckets, *,
+                          train: bool = False):
+        """serve_step with the static-geometry splat (fixed rig — intrinsics
+        and extrinsics are frozen into the plan at setup)."""
+        bev_new, cam_front = self.splat_single_frame_static(
+            image, plan_buckets, train=train)
+        return self._serve_tail(bev_new, cam_front, cached_bev,
+                                future_egomotion, trajs, commands,
+                                target_points, train=train)
+
+    def _serve_tail(self, bev_new, cam_front, cached_bev, future_egomotion,
+                    trajs, commands, target_points, *, train: bool):
+        """Shared serving pipeline after the present-frame splat: cache
+        alignment, discounted temporal accumulate, temporal model, future
+        prediction, decode, plan. bev_new: (B, nx, ny, C)."""
         from stp3_tpu.ops.warp import cumulative_warp_features
         c = self.cfg
         rf = c.receptive_field
 
-        bev_new, cam_front = self.splat_single_frame(
-            image, intrinsics, extrinsics, train=train)
         frames = jnp.concatenate(
             [cached_bev.astype(bev_new.dtype), bev_new[:, None]], axis=1)
 
@@ -504,7 +550,7 @@ class STP3(nn.Module):
         ped_pred = (output['pedestrian'].argmax(-1)
                     if c.predict_pedestrian else jnp.zeros_like(seg_pred))
         occupancy = jnp.logical_or(seg_pred, ped_pred).astype(x.dtype)
-        gt_dummy = jnp.zeros((image.shape[0], c.n_future, 3), x.dtype)
+        gt_dummy = jnp.zeros((bev_new.shape[0], c.n_future, 3), x.dtype)
         _, traj = self.plan(cam_front, trajs, gt_dummy,
                             output['costvolume'][:, rf:], occupancy[:, rf:],
                             output['hdmap'], commands, target_points,

@@ -243,11 +243,17 @@ def make_instance_id_temporally_consistent(pred_inst: np.ndarray,
 
 def predict_instance_segmentation_and_trajectories(
         output: Dict, compute_matched_centers: bool = False,
-        make_consistent: bool = True, vehicles_id: int = 1):
+        make_consistent: bool = True, vehicles_id: int = 1,
+        jit_decode: bool = True):
     """output dict with channels-last arrays: segmentation (B,S,H,W,C)
     logits, instance_center (B,S,H,W,1), instance_offset (B,S,H,W,2),
     instance_flow (B,S,H,W,2) or None (reference instance.py:272-330).
-    Returns consistent instance seg (B, S, H, W) int numpy."""
+    Returns consistent instance seg (B, S, H, W) int numpy.
+
+    jit_decode=True runs the per-frame NMS + grouping on-device as one XLA
+    program (utils/instance_jit.py — id-for-id identical,
+    tests/test_instance_jit.py); the host numpy loop remains as
+    jit_decode=False for environments that keep outputs on the host."""
     seg = np.asarray(output['segmentation'])
     preds = seg.argmax(axis=-1)                                 # (B,S,H,W)
     foreground = preds == vehicles_id
@@ -255,12 +261,18 @@ def predict_instance_segmentation_and_trajectories(
     offset = np.asarray(output['instance_offset'])
 
     batch_size, seq_len = preds.shape[:2]
-    pred_inst = np.zeros_like(preds, dtype=np.int64)
-    for b in range(batch_size):
-        for t in range(seq_len):
-            inst, _ = get_instance_segmentation_and_centers(
-                center[b, t], offset[b, t], foreground[b, t])
-            pred_inst[b, t] = inst
+    if jit_decode:
+        from stp3_tpu.utils.instance_jit import decode_instances
+        pred_inst = np.asarray(decode_instances(
+            output['segmentation'], output['instance_center'],
+            output['instance_offset'], vehicles_id=vehicles_id)).astype(np.int64)
+    else:
+        pred_inst = np.zeros_like(preds, dtype=np.int64)
+        for b in range(batch_size):
+            for t in range(seq_len):
+                inst, _ = get_instance_segmentation_and_centers(
+                    center[b, t], offset[b, t], foreground[b, t])
+                pred_inst[b, t] = inst
 
     if make_consistent:
         flow = output.get('instance_flow')

@@ -91,3 +91,47 @@ def test_agent_recorded_ticks(tmp_path):
     assert np.isfinite([last['steer'], last['throttle'], last['brake']]).all()
     assert -1.0 <= last['steer'] <= 1.0
     assert 0.0 <= last['throttle'] <= 0.75
+
+
+@pytest.mark.slow
+def test_agent_core_static_geometry_matches_dynamic():
+    """AgentCore(static_geometry=True) produces the same controls as the
+    dynamic-scatter incremental path (the rig is fixed, so the precomputed
+    splat plan is exact; ops/static_splat.py)."""
+    from stp3_tpu.datas.synthetic import SyntheticDataset, collate
+    from stp3_tpu.deploy.agent_core import AgentCore
+    from stp3_tpu.training.trainer import Trainer
+
+    cfg = make_test_cfg(BATCHSIZE=1)
+    cfg.IMAGE.NAMES = ['A', 'B', 'C', 'D']
+    cfg.IMAGE.FINAL_DIM = (64, 64)
+    cfg.PLANNING.GRU_STATE_SIZE = 2
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(cfg, n_samples=1)
+    batch = collate([ds[0]])
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    params = {'params': jax.device_get(state.params)}
+
+    rng = np.random.RandomState(7)
+    frames = [{key: rng.randint(0, 255, (300, 400, 3), np.uint8)
+               for key in ['rgb', 'rgb_left', 'rgb_right', 'rgb_rear']}
+              for _ in range(cfg.TIME_RECEPTIVE_FIELD + 2)]
+
+    outs = []
+    for static in (False, True):
+        core = AgentCore(cfg, params, warmup=False, incremental=True,
+                         static_geometry=static)
+        controls = []
+        for t, fr in enumerate(frames):
+            core.push_frame(fr, gps=np.array([t * 2.0, 0.0]), theta=0.0)
+            if core.warmed_up:
+                np.random.seed(13)  # sampler uses the module RNG
+                controls.append(core.plan_step(
+                    speed=3.0, command_value=4,
+                    target_point=np.array([0.0, 5.0])))
+        outs.append(controls)
+    assert len(outs[0]) >= 1
+    for (s0, t0, b0, m0), (s1, t1, b1, m1) in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(s1, s0, atol=1e-4)
+        np.testing.assert_allclose(t1, t0, atol=1e-4)
+        assert b0 == b1
