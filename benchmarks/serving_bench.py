@@ -75,6 +75,11 @@ def main():
                                    np.asarray(e)[0, 0], res, start, dim)
     buckets = plan.device_buckets()
 
+    from stp3_tpu.ops.static_splat import build_column_splat_plan
+    cplan = build_column_splat_plan(frustum, np.asarray(k)[0, 0],
+                                    np.asarray(e)[0, 0], res, start, dim)
+    carrays = cplan.device_arrays()
+
     @jax.jit
     def tick_static(variables, img, cache, buckets):
         traj, _, new_cache = model.apply(
@@ -94,6 +99,8 @@ def main():
 
     for name, fn, extra in [
             ('serving_6cam_incremental_plan_latency_p50', tick, ()),
+            ('serving_6cam_static_column_splat_plan_latency_p50', tick_static,
+             (carrays,)),
             ('serving_6cam_static_splat_plan_latency_p50', tick_static,
              (buckets,))]:
         traj, _ = fn(variables, img1, cache0, *extra)   # compile

@@ -4,11 +4,17 @@ Chained-dependency timing (CLAUDE.md: block_until_ready returns early over
 the axon tunnel): each iteration's input is perturbed by a scalar from the
 previous output, one host readback at the end.
 
-Variants:
+Variants (select with VARIANTS=column,dynamic,... — default the two that
+matter; index-array uploads over the tunnel cost ~minutes per 10 MB, so
+only request what you need):
+  column     — ops/static_splat.column_splat (column-collapsed MXU matmul
+               + tiny sorted segment-sum; ~4 MB of indices)
   dynamic    — the serve_step path: lift (dp ⊗ ctx) + voxelize+sort+scatter
-  buckets    — ops/static_splat.static_splat (per-cell crossing buckets)
-  flatgather — buckets, but prefix sums gathered with FLAT 1-D indices
-  segsum     — crossings sorted by cell + jax.ops.segment_sum (sorted ids)
+               (no index upload)
+  buckets    — ops/static_splat.static_splat per-cell gather buckets (~12 MB)
+  segsum     — crossings sorted by cell + jax.ops.segment_sum (~5 MB)
+
+DTYPE=bf16 casts the inputs to the serving policy dtype.
 """
 import os
 import sys
@@ -22,139 +28,191 @@ import numpy as np
 
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 
-from stp3_tpu.config import get_cfg
 from stp3_tpu.ops.bev_pool import project_to_birds_eye_view
 from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
                                    create_frustum, get_geometry)
-from stp3_tpu.ops.static_splat import build_static_splat_plan, static_splat
+from stp3_tpu.ops.static_splat import (build_column_splat_plan,
+                                       build_static_splat_plan, column_splat,
+                                       static_splat)
 
 
-def flagship_rig(n=6):
-    k = np.tile(np.array([[260.0, 0, 240], [0, 260.0, 112], [0, 0, 1]],
-                         np.float32), (n, 1, 1))
-    e = np.stack([np.eye(4, dtype=np.float32)] * n)
-    for i in range(n):
-        a = i * np.pi / 3
-        e[i, :3, :3] = np.array([[np.cos(a), -np.sin(a), 0],
-                                 [np.sin(a), np.cos(a), 0],
-                                 [0, 0, 1]], np.float32)
-        e[i, :3, 3] = [1.5 * np.cos(a), 1.5 * np.sin(a), 1.6]
-    return k, e
+def flagship_rig(cfg):
+    """The SAME rig as serving_bench / __graft_entry__._example_inputs —
+    a synthetic rig without the camera-axis permutation lands almost no
+    points on the grid and makes every static variant look absurdly fast."""
+    from __graft_entry__ import _example_inputs
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        _, k, e, _ = _example_inputs(cfg)
+    return np.asarray(k)[0, 0], np.asarray(e)[0, 0]
 
 
-def chain_time(fn, args, perturb_idx=0, iters=10, reps=3):
-    """median ms/iter; output scalar feeds back into args[perturb_idx]."""
-    out = fn(*args)
-    carry = jnp.asarray(out).ravel()[0]
-    float(carry)  # compile + settle
+def put(tree, label):
+    """Device-put with progress print — uploads over the tunnel are slow
+    and silent; make them visible."""
+    t0 = time.perf_counter()
+    out = jax.device_put(tree)
+    jax.block_until_ready(out)
+    nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(out))
+    print(f'upload {label}: {nbytes / 1e6:.1f} MB in '
+          f'{time.perf_counter() - t0:.1f}s', flush=True)
+    return out
+
+
+def chain_time(fn, args, perturb_idx=0, iters=50, reps=3):
+    """median ms/iter with the iteration chain INSIDE one jitted program.
+
+    Per-call dispatch over the axon tunnel costs ~10 ms — at sub-ms kernel
+    scale a host-side loop measures the tunnel, not the kernel. A
+    lax.fori_loop with the data-dependent perturbation in-graph costs ONE
+    dispatch for all iters; one scalar readback settles it."""
+
+    @jax.jit
+    def chained(args):
+        def body(_, c):
+            a = list(args)
+            a[perturb_idx] = args[perturb_idx] + c.astype(args[perturb_idx].dtype) * 1e-12
+            out = fn(*a)
+            return jnp.asarray(out).ravel()[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    t0 = time.perf_counter()
+    float(chained(args))  # compile + settle
+    print(f'  compile+first {time.perf_counter() - t0:.1f}s', flush=True)
     times = []
     for _ in range(reps):
-        a = list(args)
         t0 = time.perf_counter()
-        c = jnp.float32(0)
-        for _ in range(iters):
-            a[perturb_idx] = args[perturb_idx] + c * 1e-12
-            out = fn(*a)
-            c = jnp.asarray(out).ravel()[0].astype(jnp.float32)
-        float(c)
+        float(chained(args))
         times.append((time.perf_counter() - t0) / iters * 1000.0)
     return float(np.median(times))
 
 
 def main():
-    cfg = get_cfg()
+    which = os.environ.get('VARIANTS', 'column,dynamic').split(',')
+    from __graft_entry__ import _flagship_cfg
+    cfg = _flagship_cfg()
     res, start, dim = calculate_birds_eye_view_parameters(
         cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
     frustum = create_frustum(tuple(cfg.IMAGE.FINAL_DIM),
                              cfg.MODEL.ENCODER.DOWNSAMPLE,
                              tuple(cfg.LIFT.D_BOUND))
-    k, e = flagship_rig()
-    plan = build_static_splat_plan(frustum, k, e, res, start, dim)
-    print('buckets:', [(b.cells.shape[0], b.ray.shape[1])
-                       for b in plan.buckets], flush=True)
-    d = plan.depth_bins
-    nx, ny, nz = plan.bev_dimension
-    n, hf, wf = 6, np.asarray(frustum).shape[1], np.asarray(frustum).shape[2]
+    k, e = flagship_rig(cfg)
+    frustum_np = np.asarray(frustum)
+    d = int((cfg.LIFT.D_BOUND[1] - cfg.LIFT.D_BOUND[0]) / cfg.LIFT.D_BOUND[2])
+    n, hf, wf = len(cfg.IMAGE.NAMES), frustum_np.shape[1], frustum_np.shape[2]
+    nx, ny, nz = (int(v) for v in np.asarray(
+        [(cfg.LIFT.X_BOUND[1] - cfg.LIFT.X_BOUND[0]) / cfg.LIFT.X_BOUND[2],
+         (cfg.LIFT.Y_BOUND[1] - cfg.LIFT.Y_BOUND[0]) / cfg.LIFT.Y_BOUND[2],
+         (cfg.LIFT.Z_BOUND[1] - cfg.LIFT.Z_BOUND[0]) / cfg.LIFT.Z_BOUND[2]]))
     c = 64
     rng = np.random.RandomState(0)
-    ctx = jnp.asarray(rng.randn(1, plan.n_rays, c).astype(np.float32))
-    dpl = jnp.asarray(rng.randn(1, plan.n_rays, d).astype(np.float32))
+    dt = jnp.bfloat16 if os.environ.get('DTYPE') == 'bf16' else jnp.float32
+    print(f'dtype: {np.dtype(dt).name}  variants: {which}', flush=True)
+    ctx = put(jnp.asarray(rng.randn(1, n * hf * wf, c).astype(np.float32), dt),
+              'ctx')
+    dpl = put(jnp.asarray(rng.randn(1, n * hf * wf, d).astype(np.float32), dt),
+              'dpl')
 
-    geometry = get_geometry(jnp.asarray(np.asarray(frustum)),
-                            jnp.asarray(k)[None, None],
-                            jnp.asarray(e)[None, None])
+    variants = []
 
-    @jax.jit
-    def dynamic(ctx, dpl):
-        dp = jax.nn.softmax(dpl, -1)
-        lifted = (dp.reshape(1, n, hf, wf, d).transpose(0, 1, 4, 2, 3)[..., None]
-                  * ctx.reshape(1, n, hf, wf, c)[:, :, None])
-        return project_to_birds_eye_view(
-            lifted[:, None], geometry, jnp.zeros((1, 1, 6)), res, start, dim)
+    if 'column' in which:
+        t0 = time.perf_counter()
+        cplan = build_column_splat_plan(frustum, k, e, res, start, dim)
+        print(f'column plan: ncols {cplan.cells.shape[0]} rmax '
+              f'{cplan.cells.shape[1]} ({time.perf_counter() - t0:.1f}s)',
+              flush=True)
+        carrays = put(cplan.device_arrays(), 'column indices')
+        cmeta = (cplan.n_cams, cplan.hf, cplan.wf, cplan.depth_bins,
+                 cplan.bev_dimension)
 
-    buckets = plan.device_buckets()
+        @jax.jit
+        def column(ctx, dpl, carrays):
+            dp = jax.nn.softmax(dpl, -1)
+            return column_splat(ctx, dp, carrays, cmeta)
 
-    @jax.jit
-    def bucketed(ctx, dpl, buckets):
-        dp = jax.nn.softmax(dpl, -1)
-        return static_splat(ctx, dp, buckets, plan.bev_dimension)
+        variants.append(('column', column, (ctx, dpl, carrays)))
 
-    # flat-index prefix-sum gather
-    fbuckets = [(jnp.asarray(b.cells),
-                 jnp.asarray(b.ray),
-                 jnp.asarray(b.ray.astype(np.int64) * (d + 1) + b.lo),
-                 jnp.asarray(b.ray.astype(np.int64) * (d + 1) + b.hi))
-                for b in plan.buckets]
+    plan = None
+    if 'buckets' in which or 'segsum' in which:
+        t0 = time.perf_counter()
+        plan = build_static_splat_plan(frustum, k, e, res, start, dim)
+        print('buckets:', [(b.cells.shape[0], b.ray.shape[1])
+                           for b in plan.buckets],
+              f'({time.perf_counter() - t0:.1f}s)', flush=True)
 
-    @jax.jit
-    def flatgather(ctx, dpl, fbuckets):
-        dp = jax.nn.softmax(dpl, -1)
-        ctx2, dp2 = ctx[0], dp[0]
-        s = jnp.concatenate(
-            [jnp.zeros_like(dp2[:, :1]), jnp.cumsum(dp2, 1)], 1).reshape(-1)
-        out = jnp.zeros((nx * ny * nz, c), ctx2.dtype)
-        for cells, ray, flo, fhi in fbuckets:
-            w = s[fhi] - s[flo]
-            vals = jnp.einsum('mk,mkc->mc', w, ctx2[ray])
-            out = out.at[cells].set(vals, unique_indices=True)
-        return out.reshape(1, nx, ny, nz * c)
+    if 'buckets' in which:
+        buckets = put(plan.device_buckets(), 'bucket indices')
 
-    # sorted segment-sum over crossings
-    cr_cell, cr_ray, cr_lo, cr_hi = [], [], [], []
-    for b in plan.buckets:
-        kk = b.ray.shape[1]
-        valid = (b.hi > b.lo)
-        cr_cell.append(np.repeat(b.cells, kk).reshape(-1)[valid.reshape(-1)])
-        cr_ray.append(b.ray.reshape(-1)[valid.reshape(-1)])
-        cr_lo.append(b.lo.reshape(-1)[valid.reshape(-1)])
-        cr_hi.append(b.hi.reshape(-1)[valid.reshape(-1)])
-    cr_cell = np.concatenate(cr_cell)
-    srt = np.argsort(cr_cell, kind='stable')
-    cr_cell = jnp.asarray(cr_cell[srt])
-    cr_ray = jnp.asarray(np.concatenate(cr_ray)[srt])
-    cr_flo = jnp.asarray((np.concatenate(cr_lo)[srt]).astype(np.int64)
-                         + np.concatenate(cr_ray)[srt].astype(np.int64) * (d + 1))
-    cr_fhi = jnp.asarray((np.concatenate(cr_hi)[srt]).astype(np.int64)
-                         + np.concatenate(cr_ray)[srt].astype(np.int64) * (d + 1))
-    print('crossings:', cr_cell.shape[0], flush=True)
+        @jax.jit
+        def bucketed(ctx, dpl, buckets):
+            dp = jax.nn.softmax(dpl, -1)
+            return static_splat(ctx, dp, buckets, plan.bev_dimension)
 
-    @jax.jit
-    def segsum(ctx, dpl, cr_cell, cr_ray, cr_flo, cr_fhi):
-        dp = jax.nn.softmax(dpl, -1)
-        ctx2, dp2 = ctx[0], dp[0]
-        s = jnp.concatenate(
-            [jnp.zeros_like(dp2[:, :1]), jnp.cumsum(dp2, 1)], 1).reshape(-1)
-        w = (s[cr_fhi] - s[cr_flo])[:, None]
-        vals = w * ctx2[cr_ray]
-        out = jax.ops.segment_sum(vals, cr_cell, num_segments=nx * ny * nz,
-                                  indices_are_sorted=True)
-        return out.reshape(1, nx, ny, nz * c)
+        variants.append(('buckets', bucketed, (ctx, dpl, buckets)))
 
-    for name, fn, args in [
-            ('dynamic', dynamic, (ctx, dpl)),
-            ('buckets', bucketed, (ctx, dpl, buckets)),
-            ('flatgather', flatgather, (ctx, dpl, fbuckets)),
-            ('segsum', segsum, (ctx, dpl, cr_cell, cr_ray, cr_flo, cr_fhi))]:
+    if 'segsum' in which:
+        # sorted segment-sum over individual crossings
+        cr = [[], [], [], []]
+        for b in plan.buckets:
+            valid = (b.hi > b.lo).reshape(-1)
+            kk = b.ray.shape[1]
+            cr[0].append(np.repeat(b.cells, kk)[valid])
+            cr[1].append(b.ray.reshape(-1)[valid])
+            cr[2].append(b.lo.reshape(-1)[valid])
+            cr[3].append(b.hi.reshape(-1)[valid])
+        cr = [np.concatenate(x) for x in cr]
+        srt = np.argsort(cr[0], kind='stable')
+        flo = (cr[2][srt] + cr[1][srt].astype(np.int64) * (d + 1)).astype(np.int32)
+        fhi = (cr[3][srt] + cr[1][srt].astype(np.int64) * (d + 1)).astype(np.int32)
+        print('crossings:', srt.size, flush=True)
+        cr_cell, cr_ray, cr_flo, cr_fhi = put(
+            (jnp.asarray(cr[0][srt].astype(np.int32)),
+             jnp.asarray(cr[1][srt]), jnp.asarray(flo), jnp.asarray(fhi)),
+            'crossing indices')
+
+        @jax.jit
+        def segsum(ctx, dpl, cr_cell, cr_ray, cr_flo, cr_fhi):
+            dp = jax.nn.softmax(dpl, -1)
+            ctx2, dp2 = ctx[0], dp[0]
+            s = jnp.concatenate(
+                [jnp.zeros_like(dp2[:, :1]), jnp.cumsum(dp2, 1)], 1).reshape(-1)
+            w = (s[cr_fhi] - s[cr_flo])[:, None]
+            vals = (w * ctx2[cr_ray]).astype(ctx2.dtype)
+            out = jax.ops.segment_sum(vals, cr_cell, num_segments=nx * ny * nz,
+                                      indices_are_sorted=True)
+            return out.reshape(1, nx, ny, nz * c)
+
+        variants.append(
+            ('segsum', segsum, (ctx, dpl, cr_cell, cr_ray, cr_flo, cr_fhi)))
+
+    if 'dynamic' in which:
+        with jax.default_device(jax.local_devices(backend='cpu')[0]):
+            geometry = get_geometry(
+                jnp.asarray(frustum_np),
+                jnp.asarray(k)[None, None], jnp.asarray(e)[None, None])
+        geometry = put(np.asarray(geometry), 'geometry')
+
+        @jax.jit
+        def dynamic(ctx, dpl):
+            dp = jax.nn.softmax(dpl, -1)
+            lifted = (dp.reshape(1, n, hf, wf, d).transpose(0, 1, 4, 2, 3)
+                      [..., None] * ctx.reshape(1, n, hf, wf, c)[:, :, None])
+            return project_to_birds_eye_view(
+                lifted[:, None], geometry, jnp.zeros((1, 1, 6)),
+                res, start, dim)
+
+        variants.append(('dynamic', dynamic, (ctx, dpl)))
+
+    ref = None
+    for name, fn, args in variants:
+        out = np.asarray(fn(*args), np.float32).reshape(-1)
+        if ref is None:
+            ref = out
+            print(f'{name}: reference output', flush=True)
+        else:
+            err = float(np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9))
+            print(f'{name} max rel err vs {variants[0][0]}: {err:.2e}',
+                  flush=True)
+    for name, fn, args in variants:
         ms = chain_time(fn, args)
         print(f'{name}: {ms:.2f} ms', flush=True)
 

@@ -112,15 +112,15 @@ class AgentCore:
         if self.static_geometry:
             from stp3_tpu.ops.geometry import (
                 calculate_birds_eye_view_parameters, create_frustum)
-            from stp3_tpu.ops.static_splat import build_static_splat_plan
+            from stp3_tpu.ops.static_splat import build_column_splat_plan
             res, start, dim = calculate_birds_eye_view_parameters(
                 cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
             frustum = create_frustum(tuple(cfg.IMAGE.FINAL_DIM),
                                      cfg.MODEL.ENCODER.DOWNSAMPLE,
                                      tuple(cfg.LIFT.D_BOUND))
-            plan = build_static_splat_plan(frustum, intr, extr,
+            plan = build_column_splat_plan(frustum, intr, extr,
                                            res, start, dim)
-            self._splat_buckets = plan.device_buckets()
+            self._splat_buckets = plan.device_arrays()
 
             @jax.jit
             def infer_incremental_static(params, image, future_egomotion,

@@ -36,8 +36,12 @@ def _weighted_ce(logits: jnp.ndarray, target: jnp.ndarray, class_weights,
     logp = jax.nn.log_softmax(logits, axis=-1)
     valid = target != ignore_index
     tgt = jnp.where(valid, target, 0)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    w = jnp.asarray(class_weights, logits.dtype)[tgt]
+    # one-hot contraction, not take_along_axis: per-pixel scalar gathers
+    # (and their scatter VJPs) run ~25 cycles/elem on TPU, a dense C-wide
+    # multiply-sum is pure VPU (see ops/static_splat.py device_arrays note)
+    oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
+    nll = -(logp * oh).sum(-1)
+    w = oh @ jnp.asarray(class_weights, logits.dtype)
     return jnp.where(valid, nll * w, 0.0)
 
 
@@ -109,7 +113,8 @@ def depth_loss(prediction: jnp.ndarray, target: jnp.ndarray,
     logp = jax.nn.log_softmax(prediction, axis=-1)
     valid = target != ignore_index
     tgt = jnp.where(valid, target, 0)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
+    nll = -(logp * oh).sum(-1)          # one-hot, not take_along (see above)
     nll = jnp.where(valid, nll, 0.0)
     # torch F.cross_entropy(reduction='none') zeroes ignored pixels, and the
     # reference then takes a plain mean over all pixels (losses.py:133)

@@ -462,15 +462,18 @@ class STP3(nn.Module):
                                 future_egomotion, trajs, commands,
                                 target_points, train=train)
 
-    def splat_single_frame_static(self, image, plan_buckets, *,
+    def splat_single_frame_static(self, image, plan, *,
                                   train: bool = False):
         """Encode + splat ONE frame with a precomputed static-geometry plan
         (fixed camera rig; ops.static_splat). No scatter, no sort — the
         point->cell crossings are gathered with static indices.
 
-        image (B, N, H, W, 3); plan_buckets from
-        StaticSplatPlan.device_buckets(). Returns (bev, cam_front)."""
-        from stp3_tpu.ops.static_splat import static_splat
+        image (B, N, H, W, 3); plan is either
+        ColumnSplatPlan.device_arrays() (a dict — the fast column-collapsed
+        path: per-column MXU matmuls + a tiny sorted segment-sum) or
+        StaticSplatPlan.device_buckets() (a list — per-cell gather buckets).
+        Returns (bev, cam_front)."""
+        from stp3_tpu.ops.static_splat import column_splat, static_splat
         c = self.cfg
         bs, n = image.shape[:2]
         flat = image.reshape(bs * n, *image.shape[2:])
@@ -485,16 +488,22 @@ class STP3(nn.Module):
         else:
             dp = jnp.ones(ctx.shape[:-1] + (c.depth_channels,), ctx.dtype)
         nx, ny = c.bev_size
-        bev = static_splat(ctx, dp, plan_buckets, (nx, ny, 1))
+        if isinstance(plan, dict):
+            d_frust, hf, wf = jnp.asarray(self.frustum).shape[:3]
+            bev = column_splat(ctx, dp, plan,
+                               (n, hf, wf, c.depth_channels, (nx, ny, 1)))
+        else:
+            bev = static_splat(ctx, dp, plan, (nx, ny, 1))
         return bev, cam_front
 
     def serve_step_static(self, image, future_egomotion, cached_bev, trajs,
-                          commands, target_points, plan_buckets, *,
+                          commands, target_points, plan, *,
                           train: bool = False):
         """serve_step with the static-geometry splat (fixed rig — intrinsics
-        and extrinsics are frozen into the plan at setup)."""
+        and extrinsics are frozen into the plan at setup). plan: see
+        splat_single_frame_static (column dict or bucket list)."""
         bev_new, cam_front = self.splat_single_frame_static(
-            image, plan_buckets, train=train)
+            image, plan, train=train)
         return self._serve_tail(bev_new, cam_front, cached_bev,
                                 future_egomotion, trajs, commands,
                                 target_points, train=train)

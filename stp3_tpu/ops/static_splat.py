@@ -72,25 +72,26 @@ class StaticSplatPlan:
                  jnp.asarray(b.lo), jnp.asarray(b.hi)) for b in self.buckets]
 
 
-def build_static_splat_plan(frustum, intrinsics, extrinsics, bev_resolution,
-                            bev_start_position, bev_dimension,
-                            bucket_caps: Sequence[int] = (4, 16, 64, 256, 1024, 8192),
-                            ) -> StaticSplatPlan:
-    """Precompute the point->cell crossings for ONE camera rig.
+def _rig_runs(frustum, intrinsics, extrinsics, bev_resolution,
+              bev_start_position, bev_dimension):
+    """Shared plan-build front end: voxelize one rig's frustum and
+    run-length-encode consecutive equal cells along each ray.
 
-    frustum: (D, Hf, Wf, 3); intrinsics: (N, 3, 3); extrinsics: (N, 4, 4).
-    Uses the exact dynamic-path functions (get_geometry, voxelize_coords) so
-    quantization is identical.
-    """
-    frustum = jnp.asarray(np.asarray(frustum, np.float32))
-    k = jnp.asarray(np.asarray(intrinsics, np.float32))[None, None]
-    e = jnp.asarray(np.asarray(extrinsics, np.float32))[None, None]
-    geometry = get_geometry(frustum, k, e)                 # (1,1,N,D,Hf,Wf,3)
-    coords, valid = voxelize_coords(geometry, bev_resolution,
-                                    bev_start_position, bev_dimension)
-    bev_dim = tuple(int(v) for v in np.asarray(bev_dimension))
-    ranks = np.asarray(_ranks(coords, valid, np.asarray(bev_dim)))[0, 0]
-    valid = np.asarray(valid)[0, 0]                       # (N,D,Hf,Wf)
+    Returns (run_cell, run_ray, run_lo, run_hi, (n, d, hf, wf)) where ray
+    = n*Hf*Wf + h*Wf + w and [lo, hi) is the depth-bin interval.
+
+    Runs on the host CPU backend: plan building is one-time precompute and
+    eager dispatch over a tunneled TPU costs minutes (CLAUDE.md)."""
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        frustum = jnp.asarray(np.asarray(frustum, np.float32))
+        k = jnp.asarray(np.asarray(intrinsics, np.float32))[None, None]
+        e = jnp.asarray(np.asarray(extrinsics, np.float32))[None, None]
+        geometry = get_geometry(frustum, k, e)             # (1,1,N,D,Hf,Wf,3)
+        coords, valid = voxelize_coords(geometry, bev_resolution,
+                                        bev_start_position, bev_dimension)
+        bev_dim = tuple(int(v) for v in np.asarray(bev_dimension))
+        ranks = np.asarray(_ranks(coords, valid, np.asarray(bev_dim)))[0, 0]
+        valid = np.asarray(valid)[0, 0]                   # (N,D,Hf,Wf)
 
     n, d, hf, wf = valid.shape
     # ray-major layout: ray = n*Hf*Wf + h*Wf + w, bins along axis 1
@@ -115,6 +116,23 @@ def build_static_splat_plan(frustum, intrinsics, extrinsics, bev_resolution,
     run_ray = (start_idx[keep] // d).astype(np.int32)
     run_lo = (start_idx[keep] % d).astype(np.int32)
     run_hi = run_lo + (end_idx[keep] - start_idx[keep]).astype(np.int32)
+    return run_cell, run_ray, run_lo, run_hi, (n, d, hf, wf)
+
+
+def build_static_splat_plan(frustum, intrinsics, extrinsics, bev_resolution,
+                            bev_start_position, bev_dimension,
+                            bucket_caps: Sequence[int] = (4, 16, 64, 256, 1024, 8192),
+                            ) -> StaticSplatPlan:
+    """Precompute the point->cell crossings for ONE camera rig.
+
+    frustum: (D, Hf, Wf, 3); intrinsics: (N, 3, 3); extrinsics: (N, 4, 4).
+    Uses the exact dynamic-path functions (get_geometry, voxelize_coords) so
+    quantization is identical.
+    """
+    run_cell, run_ray, run_lo, run_hi, (n, d, hf, wf) = _rig_runs(
+        frustum, intrinsics, extrinsics, bev_resolution, bev_start_position,
+        bev_dimension)
+    bev_dim = tuple(int(v) for v in np.asarray(bev_dimension))
 
     # group crossings by cell (stable: preserves ray-major order per cell)
     order_x = np.argsort(run_cell, kind='stable')
@@ -151,6 +169,149 @@ def build_static_splat_plan(frustum, intrinsics, extrinsics, bev_resolution,
 
     return StaticSplatPlan(tuple(buckets), n_rays=n * hf * wf, depth_bins=d,
                            bev_dimension=bev_dim)
+
+
+@dataclasses.dataclass(frozen=True)
+class ColumnSplatPlan:
+    """Column-collapsed static splat plan (the fast path; see column_splat).
+
+    For a camera with no roll/pitch the ego-frame (x, y) of a frustum point
+    depends only on (image column u, depth bin) — every image ROW of a
+    column hits the same BEV cell, so the splat reduces over rows with a
+    dense per-column matmul before any scatter. The plan below does not
+    ASSUME that structure; it just exploits whatever cell-sharing exists:
+    per (column b, distinct cell r) it stores a depth-interval [lo, hi) for
+    every row h (lo == hi where row h never crosses cell r), giving
+
+        val[b, r, :] = sum_h (S[b, h, hi] - S[b, h, lo]) * ctx[b, h, :]
+
+    with S the depth-probability prefix sum — a (rmax x H) @ (H x C)
+    batched matmul on the MXU. Only ncols*rmax rows (~17k at flagship
+    scale vs 484k raw frustum points) reach the final sorted segment-sum.
+    """
+    cells: np.ndarray        # (ncols, rmax) int32, pad rows -> ncells sentinel
+    lo: np.ndarray           # (ncols, hf, rmax) int32 prefix-sum interval start
+    hi: np.ndarray           # (ncols, hf, rmax) int32 prefix-sum interval end
+    n_cams: int
+    hf: int
+    wf: int
+    depth_bins: int
+    bev_dimension: Tuple[int, int, int]
+
+    @property
+    def ncells(self) -> int:
+        nx, ny, nz = self.bev_dimension
+        return nx * ny * nz
+
+    def device_arrays(self):
+        """Index pytree for column_splat — pass INTO jit as an argument
+        (don't bake ~MB constants into the program; CLAUDE.md).
+
+        The depth intervals ship as a dense (ncols, hf, rmax, D) 0/1 mask,
+        NOT as gatherable lo/hi indices: on TPU a take_along_axis over the
+        ~500k (col, row, slot) triples costs ~12 ms (scalar gathers),
+        while contracting a dense mask against dp is a ~23 M-MAC einsum
+        (~0.5 ms) — the classic gather->matmul trade (measured in
+        benchmarks/static_splat_bench.py)."""
+        d = self.depth_bins
+        bins = np.arange(d, dtype=np.int32)
+        mask = ((bins >= self.lo[..., None]) & (bins < self.hi[..., None]))
+        # (ncols, hf, rmax, D) bool; empty slots (lo == hi) are all-False
+        flat_cells = self.cells.reshape(-1)
+        perm = np.argsort(flat_cells, kind='stable').astype(np.int32)
+        return {
+            'mask': jnp.asarray(mask),
+            'perm': jnp.asarray(perm),
+            'cells_sorted': jnp.asarray(flat_cells[perm]),
+        }
+
+
+def build_column_splat_plan(frustum, intrinsics, extrinsics, bev_resolution,
+                            bev_start_position, bev_dimension,
+                            ) -> ColumnSplatPlan:
+    """Precompute the column-collapsed crossing plan for ONE camera rig.
+
+    Same quantization as the dynamic path (get_geometry + voxelize_coords,
+    reference stp3.py:226-301) — exact to float tolerance vs the scatter
+    splat (tests/test_static_splat.py)."""
+    run_cell, run_ray, run_lo, run_hi, (n, d, hf, wf) = _rig_runs(
+        frustum, intrinsics, extrinsics, bev_resolution, bev_start_position,
+        bev_dimension)
+    ncells = int(np.prod(np.asarray(bev_dimension)))
+
+    col = (run_ray // (hf * wf)) * wf + run_ray % wf        # (n*wf) columns
+    h = (run_ray // wf) % hf
+    ncols = n * wf
+
+    # distinct cells per column -> slot index r
+    key = col.astype(np.int64) * ncells + run_cell
+    order = np.argsort(key, kind='stable')
+    key_s = key[order]
+    new_pair = np.ones(key_s.size, bool)
+    new_pair[1:] = key_s[1:] != key_s[:-1]
+    pair_id = np.cumsum(new_pair) - 1                       # per sorted run
+    pair_col = (key_s[new_pair] // ncells).astype(np.int64)
+    pair_cell = (key_s[new_pair] % ncells).astype(np.int64)
+    # slot r = rank of the pair within its column
+    first_of_col = np.ones(pair_col.size, bool)
+    first_of_col[1:] = pair_col[1:] != pair_col[:-1]
+    col_start = np.cumsum(first_of_col) - 1
+    col_start_idx = np.flatnonzero(first_of_col)
+    r_of_pair = np.arange(pair_col.size) - col_start_idx[col_start]
+    rmax = int(r_of_pair.max()) + 1 if r_of_pair.size else 1
+
+    cells = np.full((ncols, rmax), ncells, np.int32)        # sentinel pad
+    cells[pair_col, r_of_pair] = pair_cell.astype(np.int32)
+    lo = np.zeros((ncols, hf, rmax), np.int32)
+    hi = np.zeros((ncols, hf, rmax), np.int32)
+    rr = r_of_pair[pair_id]                                 # slot per run
+    cc = col[order]
+    hh = h[order]
+    if np.unique(np.stack([cc, hh, rr]), axis=1).shape[1] != cc.size:
+        raise ValueError('duplicate (column,row,cell) runs — non-monotone '
+                         'ray path should be impossible')
+    lo[cc, hh, rr] = run_lo[order]
+    hi[cc, hh, rr] = run_hi[order]
+    return ColumnSplatPlan(cells, lo, hi, n_cams=n, hf=hf, wf=wf,
+                           depth_bins=d,
+                           bev_dimension=tuple(int(v) for v in
+                                               np.asarray(bev_dimension)))
+
+
+def column_splat(ctx: jnp.ndarray, dp: jnp.ndarray, arrays, plan_meta,
+                 ) -> jnp.ndarray:
+    """Splat one frame with a ColumnSplatPlan.
+
+    ctx: (..., rays, C); dp: (..., rays, D) — ray-major like static_splat
+    (ray = n*Hf*Wf + h*Wf + w). arrays: ColumnSplatPlan.device_arrays().
+    plan_meta: (n_cams, hf, wf, depth_bins, bev_dimension) static ints.
+    Returns (..., nx, ny, nz*C)."""
+    n, hf, wf, d, bev_dimension = plan_meta
+    nx, ny, nz = bev_dimension
+    ncells = nx * ny * nz
+    ncols = n * wf
+    rmax = arrays['mask'].shape[2]
+
+    def one(ctx2, dp2):
+        c = ctx2.shape[-1]
+        # ray-major -> column-major (ncols, hf, ...)
+        ctx_c = ctx2.reshape(n, hf, wf, c).transpose(0, 2, 1, 3).reshape(
+            ncols, hf, c)
+        dp_c = dp2.reshape(n, hf, wf, d).transpose(0, 2, 1, 3).reshape(
+            ncols, hf, d)
+        mask = arrays['mask'].astype(dp_c.dtype)
+        w = jnp.einsum('bhrd,bhd->bhr', mask, dp_c)         # (ncols, hf, rmax)
+        vals = jnp.einsum('bhr,bhc->brc', w.astype(ctx_c.dtype), ctx_c)
+        vals = vals.reshape(ncols * rmax, c)[arrays['perm']]
+        out = jax.ops.segment_sum(vals, arrays['cells_sorted'],
+                                  num_segments=ncells + 1,
+                                  indices_are_sorted=True)[:ncells]
+        return out.reshape(nx, ny, nz * c)
+
+    batch_shape = ctx.shape[:-2]
+    out = jax.vmap(one)(ctx.reshape((-1,) + ctx.shape[-2:]),
+                        dp.reshape((-1,) + dp.shape[-2:]))
+    return out.reshape(batch_shape + out.shape[1:])
 
 
 def static_splat(ctx: jnp.ndarray, dp: jnp.ndarray, buckets,

@@ -10,7 +10,9 @@ from stp3_tpu.models.stp3 import STP3, STP3Config
 from stp3_tpu.ops.bev_pool import project_to_birds_eye_view
 from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
                                    create_frustum, get_geometry)
-from stp3_tpu.ops.static_splat import build_static_splat_plan, static_splat
+from stp3_tpu.ops.static_splat import (build_column_splat_plan,
+                                       build_static_splat_plan, column_splat,
+                                       static_splat)
 
 
 def _rig(cfg, b=1):
@@ -63,6 +65,80 @@ def test_static_splat_matches_dynamic_scatter():
                         for bk in plan.buckets],
                        plan.bev_dimension)
     np.testing.assert_allclose(np.asarray(sta), np.asarray(dyn),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_column_splat_matches_dynamic_scatter():
+    """Column-collapsed plan == dynamic scatter splat, batched."""
+    cfg = make_test_cfg()
+    mc = STP3Config.from_cfg(cfg)
+    res, start, dim = _grid_params(cfg)
+    frustum = create_frustum(tuple(cfg.IMAGE.FINAL_DIM),
+                             cfg.MODEL.ENCODER.DOWNSAMPLE,
+                             tuple(cfg.LIFT.D_BOUND))
+    k, e = _rig(cfg)
+    plan = build_column_splat_plan(frustum, k, e, res, start, dim)
+    assert plan.cells.shape[0] == plan.n_cams * plan.wf
+
+    b, n, d = 2, k.shape[0], mc.depth_channels
+    hf, wf = np.asarray(frustum).shape[1:3]
+    c = 5
+    rng = np.random.RandomState(0)
+    ctx = jnp.asarray(rng.randn(b, n, hf, wf, c).astype(np.float32))
+    depth_logits = jnp.asarray(rng.randn(b, n, hf, wf, d).astype(np.float32))
+    dp = jax.nn.softmax(depth_logits, axis=-1)
+
+    lifted = jnp.moveaxis(dp, -1, 2)[..., None] * ctx[:, :, None]
+    geometry = get_geometry(jnp.asarray(np.asarray(frustum)),
+                            jnp.asarray(k)[None, None].repeat(b, 0),
+                            jnp.asarray(e)[None, None].repeat(b, 0))
+    dyn = project_to_birds_eye_view(
+        lifted[:, None], geometry, jnp.zeros((b, 1, 6)), res, start, dim)[:, 0]
+
+    meta = (plan.n_cams, plan.hf, plan.wf, plan.depth_bins,
+            plan.bev_dimension)
+    col = column_splat(ctx.reshape(b, -1, c), dp.reshape(b, -1, d),
+                       plan.device_arrays(), meta)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(dyn),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_column_splat_tilted_rig_matches_dynamic():
+    """A rig WITH pitch/roll breaks the rows-share-a-cell structure — the
+    column plan must stay exact anyway (per-row intervals)."""
+    cfg = make_test_cfg()
+    res, start, dim = _grid_params(cfg)
+    frustum = create_frustum(tuple(cfg.IMAGE.FINAL_DIM),
+                             cfg.MODEL.ENCODER.DOWNSAMPLE,
+                             tuple(cfg.LIFT.D_BOUND))
+    k, e = _rig(cfg)
+    # tilt camera 0: 20 deg pitch + 10 deg roll
+    cp, sp = np.cos(0.35), np.sin(0.35)
+    cr, sr = np.cos(0.17), np.sin(0.17)
+    pitch = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]], np.float32)
+    roll = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]], np.float32)
+    e = e.copy()
+    e[0, :3, :3] = e[0, :3, :3] @ pitch @ roll
+    plan = build_column_splat_plan(frustum, k, e, res, start, dim)
+
+    n = k.shape[0]
+    d = int((cfg.LIFT.D_BOUND[1] - cfg.LIFT.D_BOUND[0]) / cfg.LIFT.D_BOUND[2])
+    hf, wf = np.asarray(frustum).shape[1:3]
+    rng = np.random.RandomState(2)
+    ctx = jnp.asarray(rng.randn(1, n, hf, wf, 4).astype(np.float32))
+    dp = jax.nn.softmax(
+        jnp.asarray(rng.randn(1, n, hf, wf, d).astype(np.float32)), axis=-1)
+
+    lifted = jnp.moveaxis(dp, -1, 2)[..., None] * ctx[:, :, None]
+    geometry = get_geometry(jnp.asarray(np.asarray(frustum)),
+                            jnp.asarray(k)[None, None], jnp.asarray(e)[None, None])
+    dyn = project_to_birds_eye_view(
+        lifted[:, None], geometry, jnp.zeros((1, 1, 6)), res, start, dim)[:, 0]
+    meta = (plan.n_cams, plan.hf, plan.wf, plan.depth_bins,
+            plan.bev_dimension)
+    col = column_splat(ctx.reshape(1, -1, 4), dp.reshape(1, -1, d),
+                       plan.device_arrays(), meta)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(dyn),
                                rtol=1e-4, atol=1e-5)
 
 
