@@ -31,22 +31,14 @@ def main():
     from __graft_entry__ import _example_inputs, _flagship_cfg
     from stp3_tpu.models.stp3 import STP3, STP3Config
 
+    from __graft_entry__ import _init_flagship, _planning_extras
     cfg = _flagship_cfg()
     model_cfg = STP3Config.from_cfg(cfg)
     model = STP3(model_cfg)
-    image, k, e, ego = _example_inputs(cfg)
-
-    rng = np.random.RandomState(0)
-    n_future = cfg.N_FUTURE_FRAMES
-    trajs = jnp.asarray(rng.randn(1, cfg.PLANNING.SAMPLE_NUM, n_future, 3)
-                        .astype(np.float32))
-    gt = jnp.asarray(rng.randn(1, n_future, 3).astype(np.float32))
-    commands = jnp.zeros((1,), jnp.int32)
-    target = jnp.zeros((1, 2), jnp.float32)
-
-    variables = model.init(
-        jax.random.PRNGKey(0), image, k, e, ego, trajs=trajs, gt_trajs=gt,
-        commands=commands, target_points=target, method=STP3.init_full)
+    variables, (image, k, e, ego), extras = _init_flagship(
+        model, cfg, _planning_extras)
+    trajs, gt = extras['trajs'], extras['gt_trajs']
+    commands, target = extras['commands'], extras['target_points']
 
     # bf16 serving policy (cfg PRECISION 16); geometry inputs stay fp32
     from stp3_tpu.utils.precision import cast_floating, policy_dtype

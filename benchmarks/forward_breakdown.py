@@ -45,21 +45,17 @@ def dep(x, c):
     return x + (c * 0).astype(x.dtype)
 
 def main():
+    from __graft_entry__ import _init_flagship, _planning_extras
     cfg = _flagship_cfg()
     mc = STP3Config.from_cfg(cfg)
     model = STP3(mc)
-    image, k, e, ego = _example_inputs(cfg)
-    rng = np.random.RandomState(0)
-    trajs = jnp.asarray(rng.randn(1, mc.sample_num, mc.n_future, 3).astype(np.float32))
-    gt = jnp.asarray(rng.randn(1, mc.n_future, 3).astype(np.float32))
-    commands = jnp.zeros((1,), jnp.int32)
-    target = jnp.zeros((1, 2), jnp.float32)
-
     t0 = time.time()
-    variables = model.init(
-        jax.random.PRNGKey(0), image, k, e, ego, trajs=trajs, gt_trajs=gt,
-        commands=commands, target_points=target, method=STP3.init_full)
+    variables, (image, k, e, ego), extras = _init_flagship(
+        model, cfg, _planning_extras)
+    trajs, gt = extras['trajs'], extras['gt_trajs']
+    commands, target = extras['commands'], extras['target_points']
     print(f'init: {time.time() - t0:.0f}s', flush=True)
+    rng = np.random.RandomState(0)
 
     # serve in bf16 like bench.py (cfg PRECISION 16)
     from stp3_tpu.utils.precision import cast_floating, policy_dtype
@@ -116,7 +112,7 @@ def main():
     @jax.jit
     def future(c):
         def run(m, s, train):
-            sample = m.distribution_forward(s[:, -1:], train=train)
+            sample, _ = m.distribution_forward(s[:, -1:], train=train)
             return m.future_prediction(sample, s, train=train)
         out = model.apply(variables, dep(states, c), train=False,
                           method=lambda m, s, train: run(m, s, train))

@@ -25,25 +25,20 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from __graft_entry__ import _example_inputs, _flagship_cfg  # noqa: E402
+from __graft_entry__ import _flagship_cfg  # noqa: E402
 from stp3_tpu.models.stp3 import STP3, STP3Config  # noqa: E402
 from stp3_tpu.utils.precision import cast_floating, policy_dtype  # noqa: E402
 
 
 def main():
+    from __graft_entry__ import _init_flagship, _planning_extras
     cfg = _flagship_cfg()
     mc = STP3Config.from_cfg(cfg)
     model = STP3(mc)
-    image, k, e, ego = _example_inputs(cfg)
-    rng = np.random.RandomState(0)
-    trajs = jnp.asarray(rng.randn(1, mc.sample_num, mc.n_future, 3).astype(np.float32))
-    gt = jnp.asarray(rng.randn(1, mc.n_future, 3).astype(np.float32))
-    commands = jnp.zeros((1,), jnp.int32)
-    target = jnp.zeros((1, 2), jnp.float32)
-
-    variables = model.init(
-        jax.random.PRNGKey(0), image, k, e, ego, trajs=trajs, gt_trajs=gt,
-        commands=commands, target_points=target, method=STP3.init_full)
+    variables, (image, k, e, ego), extras = _init_flagship(
+        model, cfg, _planning_extras)
+    trajs = extras['trajs']
+    commands, target = extras['commands'], extras['target_points']
 
     dt = policy_dtype(cfg)
     variables = cast_floating(variables, dt)

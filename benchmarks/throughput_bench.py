@@ -37,14 +37,10 @@ def main():
     mc = STP3Config.from_cfg(cfg)
     model = STP3(mc)
 
-    img1, k1, e1, ego1 = _example_inputs(cfg, b=1)
-    rng = np.random.RandomState(0)
-    trajs1 = jnp.asarray(rng.randn(1, mc.sample_num, mc.n_future, 3).astype(np.float32))
-    gt1 = jnp.asarray(rng.randn(1, mc.n_future, 3).astype(np.float32))
-    variables = model.init(
-        jax.random.PRNGKey(0), img1, k1, e1, ego1, trajs=trajs1, gt_trajs=gt1,
-        commands=jnp.zeros((1,), jnp.int32), target_points=jnp.zeros((1, 2)),
-        method=STP3.init_full)
+    from __graft_entry__ import _init_flagship, _planning_extras
+    variables, (img1, k1, e1, ego1), extras = _init_flagship(
+        model, cfg, _planning_extras)
+    trajs1, gt1 = extras['trajs'], extras['gt_trajs']
     dt = policy_dtype(cfg)
     variables = cast_floating(variables, dt)
 

@@ -489,7 +489,7 @@ class STP3(nn.Module):
             dp = jnp.ones(ctx.shape[:-1] + (c.depth_channels,), ctx.dtype)
         nx, ny = c.bev_size
         if isinstance(plan, dict):
-            d_frust, hf, wf = jnp.asarray(self.frustum).shape[:3]
+            _, hf, wf = np.asarray(self.frustum).shape[:3]
             bev = column_splat(ctx, dp, plan,
                                (n, hf, wf, c.depth_channels, (nx, ny, 1)))
         else:

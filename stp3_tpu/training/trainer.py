@@ -106,16 +106,25 @@ class Trainer:
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: jax.Array, batch: Dict[str, np.ndarray]) -> TrainState:
-        sample = jax.tree.map(lambda x: jnp.asarray(x[:1]), batch)
-        variables = self.model.init(
-            {'params': rng, 'sample': rng, 'dropout': rng},
-            sample['image'], sample['intrinsics'], sample['extrinsics'],
-            sample['future_egomotion'],
-            trajs=sample['sample_trajectory'][:, :, 1:],
-            gt_trajs=sample['gt_trajectory'][:, 1:],
-            commands=sample['command'],
-            target_points=sample['target_point'],
-            method=STP3.init_full)
+        # jitted init: eager flax init at flagship scale costs ~10 min
+        # dispatched op-by-op over a tunneled chip (and ~8 min on the host
+        # CPU); as ONE jitted program it compiles once (persistently
+        # cached) and runs in seconds
+        sample = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[:1]),
+                              batch)
+
+        def _init(key, s):
+            return self.model.init(
+                {'params': key, 'sample': key, 'dropout': key},
+                s['image'], s['intrinsics'], s['extrinsics'],
+                s['future_egomotion'],
+                trajs=s['sample_trajectory'][:, :, 1:],
+                gt_trajs=s['gt_trajectory'][:, 1:],
+                commands=s['command'],
+                target_points=s['target_point'],
+                method=STP3.init_full)
+
+        variables = jax.jit(_init)(rng, sample)
         params = variables['params']
         state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
         return jax.device_put(state, replicated(self.mesh))
