@@ -44,6 +44,18 @@ def default_norm() -> str:
     return _DEFAULT_NORM
 
 
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU that is exact (erf) in fp32 and tanh-approximate in bf16.
+
+    The erf lowering costs ~4x the tanh form on the TPU VPU (measured
+    2.6 ms vs 0.7 ms on a (6,200,200,256) activation — the single most
+    expensive op in ConvNeXtBlock). The tanh approximation's error
+    (<1.5e-3 absolute, ~3e-4 where activations concentrate) is below
+    bf16's own quantization step, so under the bf16 serving/training
+    policy it is a free win; fp32 (parity/eval) keeps exact erf."""
+    return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
 class Norm(nn.Module):
     """GroupNorm by default ('gn'); 'ln' LayerNorm; 'none' identity;
     'bn_frozen' inference-mode BatchNorm (fixed running statistics as
@@ -262,7 +274,7 @@ class ConvNeXtBlock(nn.Module):
         h = nn.Conv(dim, (7, 7), padding='SAME', feature_group_count=dim)(x)
         h = nn.LayerNorm(epsilon=1e-6)(h)
         h = nn.Dense(4 * dim)(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = nn.Dense(dim)(h)
         if self.layer_scale_init_value > 0:
             gamma = self.param('gamma', nn.initializers.constant(self.layer_scale_init_value), (dim,))
@@ -281,13 +293,13 @@ class Bottleblock(nn.Module):
         out_ch = self.out_channels or in_ch
         bneck = in_ch // 2
         h = nn.Conv(bneck, (7, 7), padding='SAME', use_bias=False)(x)
-        h = nn.gelu(nn.LayerNorm(epsilon=1e-6)(h), approximate=False)
+        h = gelu(nn.LayerNorm(epsilon=1e-6)(h))
         h = nn.Conv(bneck, (1, 1), use_bias=False)(h)
-        h = nn.gelu(nn.LayerNorm(epsilon=1e-6)(h), approximate=False)
+        h = gelu(nn.LayerNorm(epsilon=1e-6)(h))
         h = nn.Conv(out_ch, (3, 3), padding='SAME', use_bias=False)(h)
-        h = nn.gelu(nn.LayerNorm(epsilon=1e-6)(h), approximate=False)
+        h = gelu(nn.LayerNorm(epsilon=1e-6)(h))
         if out_ch == in_ch:
             skip = x
         else:
-            skip = nn.gelu(nn.Conv(out_ch, (1, 1), use_bias=False)(x), approximate=False)
+            skip = gelu(nn.Conv(out_ch, (1, 1), use_bias=False)(x))
         return h + skip
