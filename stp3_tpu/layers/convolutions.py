@@ -221,6 +221,35 @@ class UpsamplingAdd(nn.Module):
         return x + x_skip
 
 
+class _ChunkedPointwise(nn.Module):
+    """1x1 bias-free projection of channel-concatenated branches, computed
+    as per-branch matmuls with input-channel slices of ONE kernel.
+
+    Exactly conv1x1(concat(parts)) — a conv is linear in the channel
+    concat — but the (B, H, W, sum C) concat never materializes: at ASPP
+    scale that intermediate costs ~1 GB of HBM write+read traffic per
+    DeepLabHead call. The param tree matches nn.Conv ({kernel}, same
+    shape/init), so checkpoints and the torch importer are unaffected
+    (instantiated with name='Conv_5' in ASPP)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        cin = sum(p.shape[-1] for p in parts)
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        out = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            k = kernel[0, 0, off:off + c]
+            dt = jnp.promote_types(p.dtype, kernel.dtype)
+            part = jnp.einsum('...c,co->...o', p.astype(dt), k.astype(dt))
+            out = part if out is None else out + part
+            off += c
+        return out
+
+
 class ASPP(nn.Module):
     """Atrous spatial pyramid pooling (reference convolutions.py:242-270)."""
     out_channels: int = 256
@@ -236,14 +265,13 @@ class ASPP(nn.Module):
             h = nn.Conv(self.out_channels, (3, 3), kernel_dilation=(rate, rate),
                         padding='SAME', use_bias=False)(x)
             res.append(nn.relu(Norm()(h)))
-        # global pooling branch
+        # global pooling branch; stays (B, 1, 1, C) — the projection result
+        # broadcasts in the sum, the full-res broadcast never materializes
         g = jnp.mean(x, axis=(-3, -2), keepdims=True)
         g = nn.Conv(self.out_channels, (1, 1), use_bias=False)(g)
         g = nn.relu(Norm()(g))
-        g = jnp.broadcast_to(g, res[0].shape)
         res.append(g)
-        h = jnp.concatenate(res, axis=-1)
-        h = nn.Conv(self.out_channels, (1, 1), use_bias=False)(h)
+        h = _ChunkedPointwise(self.out_channels, name='Conv_5')(res)
         h = nn.relu(Norm()(h))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
