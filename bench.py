@@ -28,7 +28,7 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 def main():
     import jax.numpy as jnp
-    from __graft_entry__ import _example_inputs, _flagship_cfg
+    from __graft_entry__ import _flagship_cfg
     from stp3_tpu.models.stp3 import STP3, STP3Config
 
     from __graft_entry__ import _init_flagship, _planning_extras

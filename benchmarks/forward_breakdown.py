@@ -23,7 +23,7 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from __graft_entry__ import _example_inputs, _flagship_cfg  # noqa: E402
+from __graft_entry__ import _flagship_cfg  # noqa: E402
 from stp3_tpu.models.stp3 import STP3, STP3Config  # noqa: E402
 
 

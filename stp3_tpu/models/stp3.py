@@ -487,13 +487,17 @@ class STP3(nn.Module):
             dp = jax.nn.softmax(depth, axis=-1).reshape(bs, -1, c.depth_channels)
         else:
             dp = jnp.ones(ctx.shape[:-1] + (c.depth_channels,), ctx.dtype)
-        nx, ny = c.bev_size
+        # full (nx, ny, nz) from the config bounds — a hard-coded nz=1 would
+        # silently DROP cells of an nz>1 plan (segment ids past ncells)
+        _, _, dim = calculate_birds_eye_view_parameters(
+            list(c.x_bound), list(c.y_bound), list(c.z_bound))
+        bev_dim = (int(dim[0]), int(dim[1]), int(dim[2]))
         if isinstance(plan, dict):
             _, hf, wf = np.asarray(self.frustum).shape[:3]
             bev = column_splat(ctx, dp, plan,
-                               (n, hf, wf, c.depth_channels, (nx, ny, 1)))
+                               (n, hf, wf, c.depth_channels, bev_dim))
         else:
-            bev = static_splat(ctx, dp, plan, (nx, ny, 1))
+            bev = static_splat(ctx, dp, plan, bev_dim)
         return bev, cam_front
 
     def serve_step_static(self, image, future_egomotion, cached_bev, trajs,

@@ -209,10 +209,19 @@ def test_serve_step_static_matches_serve_step():
         variables, image[:, -1], ego, cache, trajs, commands, target,
         plan.device_buckets(), train=False, method=STP3.serve_step_static)
 
-    np.testing.assert_allclose(np.asarray(traj_s), np.asarray(traj_d),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out_s['segmentation']),
-                               np.asarray(out_d['segmentation']),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(cache_s), np.asarray(cache_d),
-                               rtol=1e-4, atol=1e-4)
+    # the PRODUCTION path (AgentCore serves via the column plan's
+    # device_arrays() dict — the isinstance-dict branch in the model)
+    cplan = build_column_splat_plan(frustum, k_np, e_np, res, start, dim)
+    traj_c, out_c, cache_c = model.apply(
+        variables, image[:, -1], ego, cache, trajs, commands, target,
+        cplan.device_arrays(), train=False, method=STP3.serve_step_static)
+
+    for traj_x, out_x, cache_x in ((traj_s, out_s, cache_s),
+                                   (traj_c, out_c, cache_c)):
+        np.testing.assert_allclose(np.asarray(traj_x), np.asarray(traj_d),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out_x['segmentation']),
+                                   np.asarray(out_d['segmentation']),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cache_x), np.asarray(cache_d),
+                                   rtol=1e-4, atol=1e-4)
