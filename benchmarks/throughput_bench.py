@@ -1,4 +1,10 @@
-"""Inference throughput: 6-cam BEV frames/sec/chip across batch sizes
+"""
+KNOWN ISSUE (round 1 end): this script reports ~4 s/step at batch 1 while
+bench.py measures ~95 ms for the same computation on the same chip — the
+chained-batch loop here has an undiagnosed dispatch problem (closures were
+already ruled out; args are passed explicitly now). Trust bench.py /
+serving_bench.py; re-validate this script before quoting its numbers.
+Inference throughput: 6-cam BEV frames/sec/chip across batch sizes
 (the BASELINE.md north-star harness: no reference number exists).
 
 One "frame" = one 6-camera timestep fully processed through
@@ -55,8 +61,13 @@ def main():
         commands = jnp.zeros((b,), jnp.int32)
         target = jnp.zeros((b, 2), dt)
 
+        # all arrays are ARGUMENTS: closed-over device arrays get baked
+        # into the program as constants, which bloats the remote-compile
+        # payload and wrecks steady-state dispatch (CLAUDE.md gotcha —
+        # measured 40x slower as closures)
         @jax.jit
-        def step(variables, image, carry):
+        def step(variables, image, k, e, ego, trajs, gt, commands, target,
+                 carry):
             img = image + carry * 0.0
             out = model.apply(variables, img, k, e, ego, train=False)
             rf = mc.receptive_field
@@ -69,15 +80,16 @@ def main():
                                   train=False, method=STP3.plan)
             return traj, traj[0, 0, 0]
 
+        args = (variables, image, k, e, ego, trajs, gt, commands, target)
         try:
             carry = jnp.zeros((), dt)
-            traj, carry = step(variables, image, carry)
+            traj, carry = step(*args, carry)
             float(carry)
             t0 = time.perf_counter()
             c = jnp.zeros((), dt)
             n = 10
             for _ in range(n):
-                _, c = step(variables, image, c)
+                _, c = step(*args, c)
             float(c)
             ms = (time.perf_counter() - t0) / n * 1000.0
             fps = b / ms * 1000.0
