@@ -108,8 +108,8 @@ def evaluate(checkpoint_path: str, dataroot: str = '', extra_opts=None,
                               occupancy[:, :t])
         if save_path is not None and index % 100 == 0:
             try:
-                from stp3_tpu.utils.visualisation import save_eval_panel
-                save_eval_panel(output, labels, rf, index, save_path, cfg)
+                from stp3_tpu.utils.visualisation import save_eval_figure
+                save_eval_figure(output, labels, batch, rf, index, save_path, cfg)
             except Exception as exc:  # visualisation must never kill eval
                 print(f'visualisation failed: {exc}')
 

@@ -121,9 +121,14 @@ class PlanningMetric:
         self._update_jit = jax.jit(self._update_impl)
 
     def reset(self):
+        # host-side int64/float64 accumulators (same rationale as IoUMetric:
+        # fp32 on-device sums lose precision at trainval scale; the per-batch
+        # increments are still computed jitted on device)
         t = self.n_future
-        self.state = {'obj_col': jnp.zeros((t,)), 'obj_box_col': jnp.zeros((t,)),
-                      'l2': jnp.zeros((t,)), 'total': jnp.zeros(())}
+        self.state = {'obj_col': np.zeros((t,), np.int64),
+                      'obj_box_col': np.zeros((t,), np.int64),
+                      'l2': np.zeros((t,), np.float64),
+                      'total': 0}
 
     def _box_collision(self, traj, segmentation):
         """traj (T, 2) in the flipped frame; segmentation (T, H, W).
@@ -137,7 +142,7 @@ class PlanningMetric:
         t_idx = jnp.arange(traj.shape[0])[:, None]
         return segmentation[t_idx, r, c].any(axis=-1)            # (T,) bool
 
-    def _update_impl(self, state, trajs, gt_trajs, segmentation):
+    def _update_impl(self, trajs, gt_trajs, segmentation):
         """trajs/gt_trajs (B, T, 3); segmentation (B, T, H, W) {0,1}."""
         nx, ny = int(self.bev_dimension[0]), int(self.bev_dimension[1])
         l2 = jnp.sqrt(((trajs[..., :2] - gt_trajs[..., :2]) ** 2).sum(-1))  # (B,T)
@@ -160,18 +165,19 @@ class PlanningMetric:
         obj_col = (occ & inb & ~gt_box_coll).sum(axis=0)         # (T,)
         obj_box_col = (box_coll & ~gt_box_coll).sum(axis=0)      # (T,)
 
-        return {'obj_col': state['obj_col'] + obj_col,
-                'obj_box_col': state['obj_box_col'] + obj_box_col,
-                'l2': state['l2'] + l2.sum(axis=0),
-                'total': state['total'] + trajs.shape[0]}
+        return {'obj_col': obj_col, 'obj_box_col': obj_box_col,
+                'l2': l2.sum(axis=0)}
 
     def update(self, trajs, gt_trajs, segmentation):
-        self.state = self._update_jit(self.state, jnp.asarray(trajs),
-                                      jnp.asarray(gt_trajs), jnp.asarray(segmentation))
+        inc = self._update_jit(jnp.asarray(trajs), jnp.asarray(gt_trajs),
+                               jnp.asarray(segmentation))
+        self.state['obj_col'] += np.asarray(inc['obj_col'], np.int64)
+        self.state['obj_box_col'] += np.asarray(inc['obj_box_col'], np.int64)
+        self.state['l2'] += np.asarray(inc['l2'], np.float64)
+        self.state['total'] += int(np.shape(trajs)[0])
 
     def compute(self) -> Dict[str, np.ndarray]:
-        total = float(self.state['total'])
-        total = max(total, 1.0)
+        total = float(max(self.state['total'], 1))
         return {'obj_col': np.asarray(self.state['obj_col']) / total,
                 'obj_box_col': np.asarray(self.state['obj_box_col']) / total,
                 'L2': np.asarray(self.state['l2']) / total}

@@ -123,7 +123,10 @@ class Planning(nn.Module):
         h = cam_front
         for blk in self.reduce_channel:
             h = blk(h, train=train)
-        h0 = h.reshape(h.shape[0], -1)                          # (B, state)
+        # flatten in torch (C, H, W) ravel order: the reference GRU's h0
+        # basis (planning_model.py:130 flatten of NCHW) — imported torch
+        # GRU weights would otherwise see a permuted state
+        h0 = jnp.moveaxis(h, -1, 1).reshape(h.shape[0], -1)     # (B, state)
         assert h0.shape[-1] == self.gru_state_size, (
             f'front-cam feature flattens to {h0.shape[-1]}, expected '
             f'GRU_STATE_SIZE={self.gru_state_size}')

@@ -43,6 +43,26 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def allreduce_host_tree(tree):
+    """Sum a host-side additive pytree (metric states) across processes.
+
+    The TPU-native equivalent of Lightning's ``dist_reduce_fx='sum'`` metric
+    reduction (reference stp3/metrics.py:32-35): metric states here are host
+    numpy int64/float64 accumulators, so the cross-host sum happens once at
+    ``compute()`` over DCN (process_allgather), not per update. No-op in
+    single-process runs (the sharded val step already covers every device's
+    shard on this host)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def _sum(x):
+        gathered = multihost_utils.process_allgather(np.asarray(x))
+        return np.asarray(gathered).sum(axis=0)
+
+    return jax.tree.map(_sum, tree)
+
+
 def maybe_initialize_multihost(cfg) -> None:
     """Multi-host DCN init (no-op single-host; reference has no equivalent —
     Lightning DDP is single-host multi-GPU in all published configs)."""

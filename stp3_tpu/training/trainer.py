@@ -340,8 +340,20 @@ class Trainer:
         return output, labels
 
     # ------------------------------------------------------------- metrics
+    def _all_metrics(self):
+        ms = [self.metric_vehicle_val, self.metric_pedestrian_val,
+              self.metric_panoptic_val, self.metric_planning_val]
+        if self.metric_hdmap_val is not None:
+            ms.extend(self.metric_hdmap_val)
+        return [m for m in ms if m is not None]
+
     def compute_metrics(self) -> Dict[str, Any]:
         cfg = self.cfg
+        # cross-host metric sum (Lightning dist_reduce_fx='sum' equivalent);
+        # no-op single-process
+        from stp3_tpu.parallel.mesh import allreduce_host_tree
+        for m in self._all_metrics():
+            m.state = allreduce_host_tree(m.state)
         out: Dict[str, Any] = {}
         out['iou_vehicle'] = self.metric_vehicle_val.compute()
         if self.metric_pedestrian_val is not None:

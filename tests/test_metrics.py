@@ -131,3 +131,28 @@ def test_planning_metric_skips_frames_where_gt_collides():
     pm.update(trajs, gt, seg)
     out = pm.compute()
     assert out['obj_box_col'][0] == 0.0  # skipped
+
+
+def test_planning_metric_trainval_scale_accumulation():
+    """Host int64/float64 accumulators stay exact over trainval-scale
+    update counts (fp32 on-device sums would drift; cf. IoUMetric)."""
+    from helpers import make_test_cfg
+    cfg = make_test_cfg()
+    pm = PlanningMetric(cfg, n_future=1)
+    h, w = 16, 16
+    seg = np.zeros((4, 1, h, w), np.float32)
+    gt = np.zeros((4, 1, 3), np.float32)
+    gt[:, :, 1] = 2.0
+    trajs = gt.copy()
+    trajs[:, :, 0] += 1e-3  # tiny lateral error: 1e-3 per sample
+
+    n_updates = 1500  # 6000 samples ~ nuScenes val
+    for _ in range(n_updates):
+        pm.update(trajs, gt, seg)
+    out = pm.compute()
+    assert pm.state['obj_col'].dtype == np.int64
+    assert pm.state['l2'].dtype == np.float64
+    assert pm.state['total'] == 4 * n_updates
+    # float64 accumulation keeps the tiny per-sample error exact
+    np.testing.assert_allclose(out['L2'], 1e-3, rtol=1e-5)
+    np.testing.assert_array_equal(out['obj_col'], 0.0)

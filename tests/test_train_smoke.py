@@ -128,3 +128,28 @@ def test_sharded_step_matches_single_device():
     flat1 = jax.tree.leaves(st1.params)
     for a, b in zip(flat4, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4 * lr)
+
+
+def test_fast_two_device_train_step():
+    """Fast-tier mesh coverage: a 2-device sharded train step on the
+    smallest graph (identity temporal, perception-only) so parallel/mesh.py
+    regressions surface in the default suite, not only in -m slow runs."""
+    cfg = make_test_cfg(BATCHSIZE=2, N_FUTURE_FRAMES=0)
+    cfg.TIME_RECEPTIVE_FIELD = 1          # TemporalModelIdentity path
+    cfg.PROBABILISTIC.ENABLED = False
+    cfg.PLANNING.ENABLED = False
+    cfg.INSTANCE_SEG.ENABLED = False
+    cfg.INSTANCE_FLOW.ENABLED = False
+    cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED = False
+    cfg.SEMANTIC_SEG.HDMAP.ENABLED = False
+    trainloader, _ = prepare_dataloaders(cfg)
+    trainer = Trainer(cfg, mesh=make_mesh(2))
+    rng = jax.random.PRNGKey(0)
+    batch = next(iter(trainloader))
+    state = trainer.init_state(rng, batch)
+    batch = shard_batch(batch, trainer.mesh)
+    # the batch really is sharded over the 2-device mesh
+    img_sharding = batch['image'].sharding
+    assert len(img_sharding.device_set) == 2, img_sharding
+    state, loss = trainer.train_step(state, batch, rng)
+    assert np.isfinite(float(loss['total']))

@@ -133,21 +133,35 @@ def main():
                 except Exception as exc:
                     print(f'visualisation failed: {exc}')
         metrics = trainer.compute_metrics()
+
+        def log_metric(prefix, v):
+            # every metric, every class/element — matching the reference's
+            # per-metric coverage (reference trainer.py:390-448)
+            arr = np.asarray(v)
+            print(f'epoch {epoch} val {prefix}: {arr}')
+            if writer is None:
+                return
+            if arr.size == 1:
+                writer.add_scalar(f'epoch_val_{prefix}', float(arr.reshape(())), step)
+            else:
+                for i, x in enumerate(arr.ravel()):
+                    writer.add_scalar(f'epoch_val_{prefix}/{i}', float(x), step)
+
         for k, v in metrics.items():
             if isinstance(v, dict):
                 for kk, vv in v.items():
-                    print(f'epoch {epoch} val {k}/{kk}: {np.asarray(vv)}')
+                    log_metric(f'{k}/{kk}', vv)
             else:
-                print(f'epoch {epoch} val {k}: {np.asarray(v)}')
-                if writer is not None and np.asarray(v).size > 1:
-                    writer.add_scalar(f'epoch_val_{k}', float(np.asarray(v)[-1]), step)
+                log_metric(k, v)
 
         # uncertainty-weight scalars — the main training diagnostic
-        # (reference trainer.py:420-448)
+        # (reference trainer.py:420-448). Full-tree walk so weights are
+        # found wherever they live in the param tree, not only top-level.
         if writer is not None:
-            for name, w in state.params.items():
-                if name.endswith('_weight') and getattr(w, 'ndim', None) == 0:
-                    writer.add_scalar(f'epoch_{name}',
+            for path, w in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+                name = '/'.join(str(getattr(p, 'key', p)) for p in path)
+                if name.endswith('_weight') and np.ndim(w) == 0:
+                    writer.add_scalar(f'epoch_{name.replace("/", "_")}',
                                       float(1.0 / (2.0 * np.exp(float(w)))), step)
 
         if cfg.CHECKPOINT.SAVE_EVERY_EPOCH:
