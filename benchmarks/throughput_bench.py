@@ -1,16 +1,24 @@
-"""
-KNOWN ISSUE (round 1 end): this script reports ~4 s/step at batch 1 while
-bench.py measures ~95 ms for the same computation on the same chip — the
-chained-batch loop here has an undiagnosed dispatch problem (closures were
-already ruled out; args are passed explicitly now). Trust bench.py /
-serving_bench.py; re-validate this script before quoting its numbers.
-Inference throughput: 6-cam BEV frames/sec/chip across batch sizes
-(the BASELINE.md north-star harness: no reference number exists).
+"""Inference throughput: 6-cam BEV frames/sec/chip across batch sizes,
+plus MFU (the BASELINE.md north-star harness; the reference publishes no
+perf numbers, SURVEY.md §6).
 
 One "frame" = one 6-camera timestep fully processed through
 perceive->predict->plan (the flagship Planning stack at batch B processes
 B frames per step in steady state — past frames come from the rolling
 window, so amortised cost per NEW frame is one forward / B).
+
+Round-1 postmortem (this script used to report ~4 s/step at batch 1 while
+bench.py measured ~95 ms for the same computation): over the axon tunnel
+the FIRST timed chain after the warmup call carries a one-time cost of
+tens of seconds (measured 9.7-22.6 s/step on a 5-step chain; the next
+chains run at 94-95 ms/step) — likely deferred executable/constant
+staging that the warmup's host readback does not force. bench.py was
+immune because it takes the p50 over 5 chains. This rewrite uses the same
+discipline: per batch, one warmup chain (discarded) then the p50 of 5
+timed chains; its batch-1 number reconciles with bench.py within noise.
+
+MFU = model FLOPs (XLA cost_analysis of the compiled step) / latency
+/ chip peak. TPU v5e peak: 197 TFLOP/s bf16.
 
 Run: python benchmarks/throughput_bench.py [batches...]
 """
@@ -32,23 +40,24 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from __graft_entry__ import _example_inputs, _flagship_cfg  # noqa: E402
+from __graft_entry__ import _flagship_cfg, _init_flagship, _planning_extras  # noqa: E402
 from stp3_tpu.models.stp3 import STP3, STP3Config  # noqa: E402
 from stp3_tpu.utils.precision import cast_floating, policy_dtype  # noqa: E402
 
+V5E_PEAK_BF16 = 197e12  # FLOP/s per chip
+
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    batches = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     cfg = _flagship_cfg()
     mc = STP3Config.from_cfg(cfg)
     model = STP3(mc)
 
-    from __graft_entry__ import _init_flagship, _planning_extras
     variables, (img1, k1, e1, ego1), extras = _init_flagship(
         model, cfg, _planning_extras)
-    trajs1, gt1 = extras['trajs'], extras['gt_trajs']
     dt = policy_dtype(cfg)
     variables = cast_floating(variables, dt)
+    rf = mc.receptive_field
 
     results = []
     for b in batches:
@@ -56,46 +65,59 @@ def main():
         k = jnp.broadcast_to(k1, (b,) + k1.shape[1:])
         e = jnp.broadcast_to(e1, (b,) + e1.shape[1:])
         ego = jnp.broadcast_to(ego1, (b,) + ego1.shape[1:])
-        trajs = jnp.broadcast_to(trajs1, (b,) + trajs1.shape[1:]).astype(dt)
-        gt = jnp.broadcast_to(gt1, (b,) + gt1.shape[1:]).astype(dt)
+        # small extras CLOSED OVER per batch size (the bench.py pattern);
+        # big arrays stay jit ARGUMENTS (closures get baked into the
+        # program and blow the remote-compile payload, CLAUDE.md)
+        trajs = jnp.broadcast_to(extras['trajs'],
+                                 (b,) + extras['trajs'].shape[1:]).astype(dt)
+        gt = jnp.broadcast_to(extras['gt_trajs'],
+                              (b,) + extras['gt_trajs'].shape[1:]).astype(dt)
         commands = jnp.zeros((b,), jnp.int32)
         target = jnp.zeros((b, 2), dt)
 
-        # all arrays are ARGUMENTS: closed-over device arrays get baked
-        # into the program as constants, which bloats the remote-compile
-        # payload and wrecks steady-state dispatch (CLAUDE.md gotcha —
-        # measured 40x slower as closures)
         @jax.jit
-        def step(variables, image, k, e, ego, trajs, gt, commands, target,
-                 carry):
+        def step(variables, image, k, e, ego, carry):
             img = image + carry * 0.0
             out = model.apply(variables, img, k, e, ego, train=False)
-            rf = mc.receptive_field
             seg = out['segmentation'].argmax(-1)
             ped = out['pedestrian'].argmax(-1)
-            occ = jnp.logical_or(seg, ped).astype(dt)
+            occ = jnp.logical_or(seg, ped).astype(jnp.float32)
             _, traj = model.apply(variables, out['cam_front'], trajs, gt,
                                   out['costvolume'][:, rf:], occ[:, rf:],
                                   out['hdmap'], commands, target,
                                   train=False, method=STP3.plan)
             return traj, traj[0, 0, 0]
 
-        args = (variables, image, k, e, ego, trajs, gt, commands, target)
+        args = (variables, image, k, e, ego)
         try:
-            carry = jnp.zeros((), dt)
-            traj, carry = step(*args, carry)
-            float(carry)
-            t0 = time.perf_counter()
-            c = jnp.zeros((), dt)
-            n = 10
-            for _ in range(n):
-                _, c = step(*args, c)
-            float(c)
-            ms = (time.perf_counter() - t0) / n * 1000.0
+            flops = None
+            try:
+                ca = step.lower(*args, jnp.zeros((), dt)).compile().cost_analysis()
+                if ca:
+                    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                    flops = float(ca.get('flops', 0.0)) or None
+            except Exception:
+                pass
+
+            def run_chain(n=5):
+                c = jnp.zeros((), dt)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    _, c = step(*args, c)
+                float(c)   # single honest readback drains the chain
+                return (time.perf_counter() - t0) / n * 1000.0
+
+            run_chain()                      # warmup chain: compile + the
+            reps = [run_chain() for _ in range(5)]   # one-time staging cost
+            ms = float(np.percentile(reps, 50))
             fps = b / ms * 1000.0
-            results.append({'batch': b, 'latency_ms': round(ms, 1),
-                            'frames_per_sec': round(fps, 2)})
-            print(json.dumps(results[-1]), flush=True)
+            row = {'batch': b, 'latency_ms': round(ms, 1),
+                   'frames_per_sec': round(fps, 2)}
+            if flops:
+                row['tflops'] = round(flops / 1e12, 1)
+                row['mfu_pct'] = round(100.0 * flops / (ms / 1e3) / V5E_PEAK_BF16, 2)
+            results.append(row)
+            print(json.dumps(row), flush=True)
         except Exception as exc:
             print(json.dumps({'batch': b, 'error': str(exc)[:200]}), flush=True)
             break
@@ -105,7 +127,8 @@ def main():
     if best:
         print(json.dumps({'metric': '6cam_bev_frames_per_sec_per_chip',
                           'value': best['frames_per_sec'], 'unit': 'frames/s',
-                          'batch': best['batch']}))
+                          'batch': best['batch'],
+                          'mfu_pct': best.get('mfu_pct')}))
 
 
 if __name__ == '__main__':

@@ -61,11 +61,30 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return None
 
 
+def resolve_checkpoint_path(path: str) -> str:
+    """Accept either a concrete step dir (containing 'state') or a
+    checkpoint ROOT dir — resolved via its 'last' pointer, falling back to
+    the highest step_N. Lets ``evaluate.py --checkpoint <dir>`` take the
+    directory the import/training CLI printed."""
+    path = os.path.abspath(path)
+    if os.path.exists(os.path.join(path, 'state')):
+        return path
+    last = latest_checkpoint(path)
+    if last and os.path.exists(os.path.join(last, 'state')):
+        return last
+    steps = sorted((d for d in os.listdir(path) if d.startswith('step_'))
+                   if os.path.isdir(path) else [],
+                   key=lambda d: int(d.split('_')[1]))
+    if steps:
+        return os.path.join(path, steps[-1])
+    return path
+
+
 def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
     """Restore {params[, opt_state]}; ``target`` is a matching pytree of
     abstract/concrete arrays (None -> restore as saved)."""
     ckptr = ocp.StandardCheckpointer()
-    state_path = os.path.join(os.path.abspath(path), 'state')
+    state_path = os.path.join(resolve_checkpoint_path(path), 'state')
     if target is not None:
         return ckptr.restore(state_path, target=target)
     return ckptr.restore(state_path)
@@ -73,7 +92,7 @@ def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
 
 def load_config_dict(path: str) -> Optional[Dict[str, Any]]:
     import json
-    cfg_path = os.path.join(path, 'config.json')
+    cfg_path = os.path.join(resolve_checkpoint_path(path), 'config.json')
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             return json.load(f)

@@ -50,14 +50,17 @@ def _decode_one(center: jnp.ndarray, offset: jnp.ndarray,
     h, w = center.shape
     keep = _nms_keep(center, conf_threshold, nms_kernel_size)
 
-    # top-K survivors by score, then re-sorted by flat index so the center
-    # list matches numpy argwhere's row-major order (id parity with the
-    # host path for <= max_instances centers)
-    flat_scores = jnp.where(keep, center, -jnp.inf).reshape(-1)
-    scores, idx = lax.top_k(flat_scores, max_instances)
+    # first-K survivors in row-major order: top_k over NEGATED flat index
+    # picks the K smallest flat indices, already sorted ascending — exactly
+    # the reference's argwhere()[:max_n] truncation (instance.py:129-136),
+    # including frames with MORE than max_instances survivors (selecting by
+    # confidence instead would silently shift ids in crowded scenes).
+    # fp32 holds integers < 2^24 exactly; h*w <= 40000 here.
+    flat_keep = keep.reshape(-1)
+    neg_idx = jnp.where(flat_keep,
+                        -jnp.arange(h * w, dtype=jnp.float32), -jnp.inf)
+    scores, idx = lax.top_k(neg_idx, max_instances)
     valid = scores > -jnp.inf
-    order = jnp.argsort(jnp.where(valid, idx, h * w))
-    idx, valid = idx[order], valid[order]
     centers = jnp.stack([idx // w, idx % w], -1).astype(jnp.float32)  # (K, 2)
 
     gx, gy = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),

@@ -54,3 +54,30 @@ def test_decode_empty_frame_is_all_background():
         jnp.zeros((1, 1, 16, 16, 2)), jnp.zeros((1, 1, 16, 16, 1)),
         jnp.zeros((1, 1, 16, 16, 2))))
     assert (got == 0).all()
+
+
+def test_decode_over_cap_matches_numpy_truncation():
+    """Frames with MORE survivors than max_instances must keep the FIRST
+    max_instances centers in row-major order — the reference's
+    argwhere()[:max_n] truncation (instance.py:129-136), not the most
+    confident ones (ADVICE round 1)."""
+    rng = np.random.RandomState(3)
+    h = w = 32
+    # a grid of isolated peaks with RANDOM confidences, more than the cap
+    center = np.zeros((h, w), np.float32)
+    pts = [(i, j) for i in range(2, h - 2, 5) for j in range(2, w - 2, 5)]
+    for (ci, cj) in pts:
+        center[ci, cj] = 0.2 + 0.8 * rng.rand()
+    offset = np.zeros((h, w, 2), np.float32)
+    fg = np.zeros((h, w), bool)
+    fg[1:-1, 1:-1] = True   # keep a background ring (realistic frames do)
+    cap = len(pts) // 2  # force truncation
+
+    inst_np, _ = get_instance_segmentation_and_centers(
+        center, offset, fg, max_n_instance_centers=cap)
+    seg_logits = np.zeros((1, 1, h, w, 2), np.float32)
+    seg_logits[0, 0, ..., 1] = np.where(fg, 5.0, -5.0)
+    inst_jit = np.asarray(decode_instances(
+        jnp.asarray(seg_logits), jnp.asarray(center[None, None, :, :, None]),
+        jnp.asarray(offset[None, None]), max_instances=cap))[0, 0]
+    np.testing.assert_array_equal(inst_jit, inst_np)

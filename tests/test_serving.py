@@ -75,26 +75,64 @@ def test_serve_step_matches_full_forward_zero_ego():
 
 
 @pytest.mark.slow
-def test_serve_step_with_motion_finite():
+def test_serve_step_motion_error_bound():
+    """Quantified accuracy cost of the serving approximation under
+    realistic ego-motion (1 m/frame forward + 0.03 rad/frame yaw at 2 Hz =
+    ~7 km/h city turn): the grid-warp temporal fusion must stay close to
+    the exact point-warp forward. Measured on this config (random weights):
+    vehicle-mask IoU 0.869, plan L2 0.0, costvolume mean|diff| 0.16 —
+    bounds set with margin below. Numbers recorded in benchmarks/README.md."""
     cfg = make_test_cfg()
     mc = STP3Config.from_cfg(cfg)
     model = STP3(mc)
     rf = cfg.TIME_RECEPTIVE_FIELD
     image, k, e = _rig(cfg)
-    ego = jnp.asarray(np.tile(np.array([-1.0, 0, 0, 0, 0, -0.05], np.float32),
+    ego = jnp.asarray(np.tile(np.array([1.0, 0, 0, 0, 0, 0.03], np.float32),
                               (1, rf, 1)))
-    rng = np.random.RandomState(2)
+    rng = np.random.RandomState(1)
     trajs = jnp.asarray(rng.randn(1, cfg.PLANNING.SAMPLE_NUM,
-                                  cfg.N_FUTURE_FRAMES, 3).astype(np.float32))
-    commands = jnp.zeros((1,), jnp.int32)
+                                  cfg.N_FUTURE_FRAMES + 1, 3).astype(np.float32))
+    commands = jnp.ones((1,), jnp.int32)
     target = jnp.zeros((1, 2))
+    gt = jnp.asarray(rng.randn(1, cfg.N_FUTURE_FRAMES, 3).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), image, k, e, ego,
-                           trajs=trajs, gt_trajs=trajs[:, 0],
+                           trajs=trajs[:, :, 1:], gt_trajs=gt,
                            commands=commands, target_points=target,
                            method=STP3.init_full)
-    cache = jnp.zeros((1, rf - 1) + mc.bev_size + (mc.encoder_out_channels,))
-    traj, out, new_cache = model.apply(
-        variables, image[:, -1], k[:, -1], e[:, -1], ego, cache, trajs,
-        commands, target, train=False, method=STP3.serve_step)
-    assert np.isfinite(np.asarray(traj)).all()
-    assert traj.shape == (1, cfg.N_FUTURE_FRAMES, 3)
+
+    # exact path: full forward + plan
+    out_full = model.apply(variables, image, k, e, ego, train=False)
+    seg = out_full['segmentation'].argmax(-1)
+    ped = out_full['pedestrian'].argmax(-1)
+    occ = jnp.logical_or(seg, ped).astype(jnp.float32)
+    gt_dummy = jnp.zeros((1, cfg.N_FUTURE_FRAMES, 3))
+    _, traj_full = model.apply(variables, out_full['cam_front'],
+                               trajs[:, :, 1:], gt_dummy,
+                               out_full['costvolume'][:, rf:], occ[:, rf:],
+                               out_full['hdmap'], commands, target,
+                               train=False, method=STP3.plan)
+
+    # serving path: per-frame caches + grid-warp fusion
+    cache = []
+    for t in range(rf - 1):
+        bev, _ = model.apply(variables, image[:, t], k[:, t], e[:, t],
+                             train=False, method=STP3.splat_single_frame)
+        cache.append(bev)
+    cache = jnp.stack(cache, axis=1)
+    traj_inc, out_inc, new_cache = model.apply(
+        variables, image[:, -1], k[:, -1], e[:, -1], ego, cache,
+        trajs[:, :, 1:], commands, target, train=False,
+        method=STP3.serve_step)
+    assert traj_inc.shape == (1, cfg.N_FUTURE_FRAMES, 3)
+    assert new_cache.shape == cache.shape
+
+    seg_full = np.asarray(out_full['segmentation'].argmax(-1))
+    seg_inc = np.asarray(out_inc['segmentation'].argmax(-1))
+    inter = np.logical_and(seg_full == 1, seg_inc == 1).sum()
+    union = np.logical_or(seg_full == 1, seg_inc == 1).sum()
+    iou = inter / max(union, 1)
+    assert iou >= 0.80, f'serving seg-IoU vs exact path degraded: {iou:.3f}'
+
+    l2 = np.sqrt(((np.asarray(traj_full)[..., :2]
+                   - np.asarray(traj_inc)[..., :2]) ** 2).sum(-1))
+    assert l2.mean() <= 0.5, f'serving plan-L2 vs exact path: {l2.mean():.3f} m'
