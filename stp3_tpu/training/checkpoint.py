@@ -9,6 +9,16 @@ The 3-stage curriculum (perception -> prediction -> planning,
 reference README.md:40-53) warm-starts from the previous stage with all
 decoder-head params dropped (train.py:27: ``'decoder' not in k``,
 strict=False); ``filter_warm_start_params`` reproduces that.
+
+FORMAT NOTE (round-1 -> round-2 break): the upsampling Bottleneck's
+ConvTranspose switched to ``transpose_kernel=True`` with torch-style
+padding for torch bit-compatibility (layers/convolutions.py:160). The
+kernel SHAPE is unchanged (in==out channels), so a checkpoint saved
+before that change restores without error but computes with transposed
+kernels — numerically wrong. Checkpoints from before commit "Fix review
+findings" (round 1 end) must be re-trained or re-imported from their
+torch source; there are no such external checkpoints in circulation
+(round-1 artifacts were synthetic-data smoke runs only).
 """
 from __future__ import annotations
 
