@@ -52,7 +52,9 @@ def timeit_chain(f, n=5, reps=3):
 
 def bench(name, module, *args, method=None):
     from stp3_tpu.utils.precision import cast_floating
-    variables = jax.jit(module.init)(jax.random.PRNGKey(0), *args)
+    # init in fp32 (mixed bf16 inputs + fp32 init params break scan carries)
+    f32_args = [a.astype(jnp.float32) for a in args]
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), *f32_args)
     variables = cast_floating(variables, DT)
 
     @jax.jit

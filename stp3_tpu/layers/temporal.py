@@ -57,12 +57,16 @@ class SpatialGRU(nn.Module):
         cell = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell')
         decoder = nn.Conv(self.input_size, (1, 1), use_bias=False, name='decoder')
 
-        scan = nn.scan(
-            lambda mdl, carry, x_t: (mdl(x_t, carry),) * 2,
-            variable_broadcast='params', split_rngs={'params': False},
-            in_axes=1, out_axes=1)
-        _, states = scan(cell, state, x)
-        return decoder(states)
+        # UNROLLED python loop, not nn.scan: T <= 9 here, and the scan's
+        # per-step dynamic slice/stack costs more than it saves — measured
+        # 17.0 -> 5.7 ms (chain floor ~5.5) for one standalone 9-step pass
+        # at (200,200,64) on v5e; the python-unrolled DualGRU was already
+        # far cheaper per conv than the scanned SpatialGRU
+        states = []
+        for i in range(t):
+            state = cell(x[:, i], state)
+            states.append(state)
+        return decoder(jnp.stack(states, axis=1))
 
 
 class DualGRU(nn.Module):
