@@ -250,6 +250,36 @@ class _ChunkedPointwise(nn.Module):
         return out
 
 
+class _AtrousConv(nn.Module):
+    """Bias-free 3x3 conv with dilation ``rate`` whose always-out-of-bounds
+    taps are dropped EXACTLY: with SAME (= torch padding=rate) zero padding,
+    a tap at offset +-rate never lands in bounds once rate >= H (resp. W),
+    so slicing those kernel rows/cols off computes the identical result.
+    On the encoder's 14x30 stride-16 maps this turns the rate-36 branch
+    into a 1x1 conv and rate-24 into a 1x3 (9x / 3x fewer MXU taps); at
+    200x200 BEV (all rates in bounds) it is the plain dilated conv.
+    Param tree matches nn.Conv ({kernel}, same shape/init)."""
+    features: int
+    rate: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        h, w = x.shape[-3], x.shape[-2]
+        rows = slice(None) if self.rate < h else slice(1, 2)
+        cols = slice(None) if self.rate < w else slice(1, 2)
+        k = kernel[rows, cols]
+        pad = tuple((self.rate, self.rate) if k.shape[i] == 3 else (0, 0)
+                    for i in range(2))
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), k.astype(dt), (1, 1), pad,
+            rhs_dilation=(self.rate, self.rate),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class ASPP(nn.Module):
     """Atrous spatial pyramid pooling (reference convolutions.py:242-270)."""
     out_channels: int = 256
@@ -258,17 +288,20 @@ class ASPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # explicit Conv_i names: _AtrousConv replaces what used to be plain
+        # nn.Conv calls, and auto-numbering must not shift for the remaining
+        # nn.Convs (checkpoint / torch-importer layout)
         res = []
-        h = nn.Conv(self.out_channels, (1, 1), use_bias=False)(x)
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False, name='Conv_0')(x)
         res.append(nn.relu(Norm()(h)))
-        for rate in self.atrous_rates:
-            h = nn.Conv(self.out_channels, (3, 3), kernel_dilation=(rate, rate),
-                        padding='SAME', use_bias=False)(x)
+        for i, rate in enumerate(self.atrous_rates):
+            h = _AtrousConv(self.out_channels, rate, name=f'Conv_{i + 1}')(x)
             res.append(nn.relu(Norm()(h)))
         # global pooling branch; stays (B, 1, 1, C) — the projection result
         # broadcasts in the sum, the full-res broadcast never materializes
         g = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        g = nn.Conv(self.out_channels, (1, 1), use_bias=False)(g)
+        g = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    name=f'Conv_{len(self.atrous_rates) + 1}')(g)
         g = nn.relu(Norm()(g))
         res.append(g)
         h = _ChunkedPointwise(self.out_channels, name='Conv_5')(res)

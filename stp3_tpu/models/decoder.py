@@ -9,8 +9,9 @@ future flow, planning cost volume.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,16 +40,48 @@ class BasicBlock(nn.Module):
         return nn.relu(h + x)
 
 
-class _Head(nn.Module):
-    """3x3 conv-norm-relu -> 1x1 conv (reference decoder.py:37-89)."""
-    out_channels: int
+class _Kernel(nn.Module):
+    """Bare conv kernel with nn.Conv's param layout ({kernel}, lecun init),
+    so a module holding it is checkpoint-identical to an nn.Conv."""
+    shape: Tuple[int, ...]
 
     @nn.compact
+    def __call__(self):
+        return self.param('kernel', nn.initializers.lecun_normal(), self.shape)
+
+
+class _Head(nn.Module):
+    """3x3 conv-norm-relu -> 1x1 conv (reference decoder.py:37-89).
+
+    The 3x3 stage is exposed as a bare kernel (``conv0_kernel``) so the
+    Decoder can run ONE fused in->(in * n_heads) conv for every head reading
+    the same trunk output: a 64-channel conv runs at ~15% of v5e bf16 peak
+    (half the 128 MXU lanes idle) while the 384-wide fused form runs ~2.4x
+    faster than six narrow convs (measured round 2). Param tree is identical
+    to the unfused nn.Conv form (Conv_0/Norm_0/Conv_1)."""
+    out_channels: int
+    in_channels: int
+
+    def setup(self):
+        self._conv0 = _Kernel((3, 3, self.in_channels, self.in_channels),
+                              name='Conv_0')
+        self._norm = Norm(name='Norm_0')
+        self._proj = nn.Conv(self.out_channels, (1, 1), name='Conv_1')
+
+    def conv0_kernel(self):
+        return self._conv0()
+
+    def finish(self, hidden):
+        """Apply norm-relu-1x1 to this head's slice of the fused conv."""
+        return self._proj(nn.relu(self._norm(hidden)))
+
     def __call__(self, x):
-        c = x.shape[-1]
-        h = nn.Conv(c, (3, 3), padding='SAME', use_bias=False)(x)
-        h = nn.relu(Norm()(h))
-        return nn.Conv(self.out_channels, (1, 1))(h)
+        k = self._conv0()
+        dt = jnp.promote_types(x.dtype, k.dtype)
+        h = jax.lax.conv_general_dilated(
+            x.astype(dt), k.astype(dt), (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return self.finish(h)
 
 
 class Decoder(nn.Module):
@@ -95,27 +128,39 @@ class Decoder(nn.Module):
         def unflat(y):
             return y.reshape(b, s, *y.shape[1:])
 
-        out: Dict[str, Optional[jnp.ndarray]] = {}
-        out['segmentation'] = unflat(_Head(self.n_classes, name='segmentation_head')(t))
-        out['pedestrian'] = (unflat(_Head(self.n_classes, name='pedestrian_head')(t))
-                             if self.predict_pedestrian else None)
+        # all-frame heads share one fused 3x3 conv over t (see _Head); the
+        # hdmap head runs unfused on the present frame only (1/s the work)
+        tc = t.shape[-1]
+        heads = [('segmentation', _Head(self.n_classes, tc, name='segmentation_head'))]
+        if self.predict_pedestrian:
+            heads.append(('pedestrian', _Head(self.n_classes, tc, name='pedestrian_head')))
+        if self.predict_instance:
+            heads.append(('instance_center', _Head(1, tc, name='instance_center_head')))
+            heads.append(('instance_offset', _Head(2, tc, name='instance_offset_head')))
+        if self.predict_future_flow:
+            heads.append(('instance_flow', _Head(2, tc, name='instance_future_head')))
+        if self.planning:
+            heads.append(('costvolume', _Head(1, tc, name='costvolume_head')))
+
+        kernels = [m.conv0_kernel() for _, m in heads]
+        dt = jnp.promote_types(t.dtype, kernels[0].dtype)
+        fused = jax.lax.conv_general_dilated(
+            t.astype(dt), jnp.concatenate(kernels, axis=-1).astype(dt),
+            (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        out: Dict[str, Optional[jnp.ndarray]] = {
+            'pedestrian': None, 'hdmap': None, 'instance_center': None,
+            'instance_offset': None, 'instance_flow': None, 'costvolume': None}
+        for i, (key, mod) in enumerate(heads):
+            y = mod.finish(fused[..., i * tc:(i + 1) * tc])
+            if key == 'instance_center':
+                out[key] = nn.sigmoid(unflat(y))
+            elif key == 'costvolume':
+                out[key] = unflat(y)[..., 0]  # (B, S, H, W)
+            else:
+                out[key] = unflat(y)
+
         if self.perceive_hdmap:
             present = unflat(t)[:, self.n_present - 1]
-            out['hdmap'] = _Head(2 * self.n_hdmap, name='hdmap_head')(present)
-        else:
-            out['hdmap'] = None
-        if self.predict_instance:
-            out['instance_center'] = nn.sigmoid(
-                unflat(_Head(1, name='instance_center_head')(t)))
-            out['instance_offset'] = unflat(_Head(2, name='instance_offset_head')(t))
-        else:
-            out['instance_center'] = None
-            out['instance_offset'] = None
-        out['instance_flow'] = (unflat(_Head(2, name='instance_future_head')(t))
-                                if self.predict_future_flow else None)
-        if self.planning:
-            cv = _Head(1, name='costvolume_head')(t)
-            out['costvolume'] = unflat(cv)[..., 0]  # (B, S, H, W)
-        else:
-            out['costvolume'] = None
+            out['hdmap'] = _Head(2 * self.n_hdmap, tc, name='hdmap_head')(present)
         return out

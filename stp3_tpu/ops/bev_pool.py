@@ -77,16 +77,19 @@ def bev_pool(feats: jnp.ndarray, coords: jnp.ndarray, valid: jnp.ndarray,
         out = jax.ops.segment_sum(feats[order], ranks[order], num_segments=ncells + 1,
                                   indices_are_sorted=True)
     elif method == 'scatter':
-        # 4 independent scatters over point chunks, summed: XLA's TPU
-        # scatter is INDEX-bound (~16 ns/index regardless of row width);
-        # splitting lets index processing overlap and measures ~15% faster
-        # than one scatter (8.3 -> 7.1 ms at flagship scale; degree 4 is
-        # the knee — see CLAUDE.md perf notes). Exact up to fp reassociation.
-        q = (p + 3) // 4
+        # independent scatters over point chunks, summed: XLA's TPU
+        # scatter is INDEX-bound (~15-16 ns/index regardless of row width);
+        # splitting lets index processing overlap. Degree 4 was the knee for
+        # a single standalone frame (8.3 -> 7.1 ms), but under the real
+        # vmapped 3-frame workload degree 16 measures best
+        # (23.8 -> 22.1 ms total; /tmp-probe round 2). Exact up to fp
+        # reassociation.
+        deg = 16
+        q = (p + deg - 1) // deg
         out = sum(jax.ops.segment_sum(feats[i * q:(i + 1) * q],
                                       ranks[i * q:(i + 1) * q],
                                       num_segments=ncells + 1)
-                  for i in range(4))
+                  for i in range(deg))
     elif method == 'pallas':
         from stp3_tpu.ops.pallas.bev_pool_kernel import bev_pool_pallas
         out = bev_pool_pallas(feats, ranks, ncells)

@@ -222,7 +222,7 @@ def test_decoder_head_matches_torch(bn_frozen_norm):
         for pth, v in zip(e.flax_paths, e.imp([sd[k] for k in e.torch_keys])):
             ti._put(params, pth, v)
 
-    out_j = _Head(out).apply({'params': params['h']},
+    out_j = _Head(out, ch).apply({'params': params['h']},
                              jnp.asarray(_np(x).transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out_j).transpose(0, 3, 1, 2), ref,
                                atol=1e-5)
