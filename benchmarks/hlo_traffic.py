@@ -1,0 +1,178 @@
+"""HBM-traffic audit of the flagship bf16 serving program.
+
+The flagship forward is bandwidth-bound (XLA cost_analysis: ~8 ms MXU
+floor vs tens of GB of HBM movement), so bytes ~= time. This tool compiles
+the exact program bench.py times, then reports:
+
+  * total flops / bytes accessed (XLA cost_analysis) + roofline floors
+    for v5e (197 TFLOP/s bf16, 819 GB/s HBM);
+  * materialized output bytes per top-level HLO instruction (fusion
+    bodies excluded — their interiors live in registers/VMEM), grouped by
+    the flax module path in op metadata, so the fattest *writers* per
+    model stage are visible;
+  * bytes spent on pure `copy` ops (layout changes / concat staging).
+
+Usage: python benchmarks/hlo_traffic.py [--top N] [--stage PREFIX]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+_DTYPE_BYTES = {
+    'f64': 8, 'f32': 4, 'f16': 2, 'bf16': 2, 'f8e4m3fn': 1, 'f8e5m2': 1,
+    's64': 8, 'u64': 8, 's32': 4, 'u32': 4, 's16': 2, 'u16': 2,
+    's8': 1, 'u8': 1, 'pred': 1, 'token': 0, 'opaque': 0,
+}
+
+_SHAPE_RE = re.compile(r'(\w+)\[([\d,]*)\]')
+
+
+def shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO shape string (handles tuples by summing)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(','):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+_INSTR_RE = re.compile(
+    r'^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|\S+)\s+([\w\-]+)\(')
+_OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+
+
+def audit(hlo_text: str):
+    """Yield (instr_name, opcode, out_bytes, op_name) for materialized
+    (non-fusion-body) instructions."""
+    in_fusion_body = False
+    for line in hlo_text.splitlines():
+        header = re.match(r'^(%?[\w.\-]+)\s+\([^)]*\)\s*->', line)
+        if line.startswith('ENTRY'):
+            in_fusion_body = False
+            continue
+        if header:
+            in_fusion_body = header.group(1).lstrip('%').startswith(
+                ('fused_computation', 'region'))
+            continue
+        m = _INSTR_RE.match(line)
+        if not m or in_fusion_body:
+            continue
+        name, shape, opcode = m.groups()
+        if opcode in ('parameter', 'constant', 'tuple', 'get-tuple-element',
+                      'bitcast'):
+            continue
+        op_name = ''
+        om = _OPNAME_RE.search(line)
+        if om:
+            op_name = om.group(1)
+        yield name, opcode, shape_bytes(shape), op_name
+
+
+def stage_of(op_name: str) -> str:
+    """Collapse a flax op_name path to a model stage label."""
+    for key in ('encoder_forward', 'Encoder', 'bev_pool', 'static_splat',
+                'projection_to_birds_eye_view', 'temporal_model',
+                'distribution', 'future_prediction', 'decoder', 'Planning',
+                'plan'):
+        if key in op_name:
+            return key
+    parts = [p for p in op_name.split('/') if p]
+    return parts[1] if len(parts) > 1 else (parts[0] if parts else '?')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--top', type=int, default=25)
+    ap.add_argument('--stage', default=None,
+                    help='print top instructions whose op_name contains this')
+    args = ap.parse_args()
+
+    import bench
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_cfg, _init_flagship, _planning_extras
+    from stp3_tpu.models.stp3 import STP3, STP3Config
+    from stp3_tpu.utils.precision import cast_floating, policy_dtype
+
+    cfg = _flagship_cfg()
+    model_cfg = STP3Config.from_cfg(cfg)
+    model = STP3(model_cfg)
+    variables, (image, k, e, ego), extras = _init_flagship(
+        model, cfg, _planning_extras)
+    trajs, gt = extras['trajs'], extras['gt_trajs']
+    commands, target = extras['commands'], extras['target_points']
+    dt = policy_dtype(cfg)
+    variables = cast_floating(variables, dt)
+    image = image.astype(dt)
+    trajs, gt, target = (a.astype(dt) for a in (trajs, gt, target))
+
+    def plan_step(variables, image, k, e, ego, carry):
+        img = image + carry * 0.0
+        out = model.apply(variables, img, k, e, ego, train=False)
+        rf = model_cfg.receptive_field
+        seg_pred = out['segmentation'].argmax(-1)
+        ped_pred = out['pedestrian'].argmax(-1)
+        occupancy = jnp.logical_or(seg_pred, ped_pred).astype(jnp.float32)
+        _, traj = model.apply(variables, out['cam_front'], trajs, gt,
+                              out['costvolume'][:, rf:], occupancy[:, rf:],
+                              out['hdmap'], commands, target,
+                              train=False, method=STP3.plan)
+        return traj, traj[0, 0, 0]
+
+    carry = jnp.zeros((), dt)
+    compiled = jax.jit(plan_step).lower(
+        variables, image, k, e, ego, carry).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = ca.get('flops', 0.0)
+    byt = ca.get('bytes accessed', 0.0)
+    print(f'flops/step:          {flops/1e9:8.1f} GFLOP '
+          f'(MXU floor {flops/197e12*1e3:5.1f} ms @197 bf16 TFLOP/s)')
+    print(f'bytes accessed/step: {byt/1e9:8.1f} GB    '
+          f'(HBM floor {byt/819e9*1e3:5.1f} ms @819 GB/s)')
+
+    rows = list(audit(compiled.as_text()))
+    total_w = sum(r[2] for r in rows)
+    print(f'materialized writes: {total_w/1e9:8.1f} GB '
+          f'({len(rows)} top-level instructions)')
+
+    by_stage = collections.Counter()
+    by_opcode = collections.Counter()
+    for _, opcode, b, op_name in rows:
+        by_stage[stage_of(op_name)] += b
+        by_opcode[opcode] += b
+    print('\n-- writes by stage --')
+    for s, b in by_stage.most_common(args.top):
+        print(f'{b/1e6:10.1f} MB  {s}')
+    print('\n-- writes by opcode --')
+    for s, b in by_opcode.most_common(12):
+        print(f'{b/1e6:10.1f} MB  {s}')
+
+    if args.stage:
+        print(f'\n-- top instructions matching "{args.stage}" --')
+        sel = [r for r in rows if args.stage in r[3]]
+        for name, opcode, b, op_name in sorted(
+                sel, key=lambda r: -r[2])[:args.top]:
+            print(f'{b/1e6:9.1f} MB  {opcode:12s} {op_name[-110:]}')
+
+
+if __name__ == '__main__':
+    main()

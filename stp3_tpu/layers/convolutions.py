@@ -30,6 +30,54 @@ def _num_groups(channels: int, preferred: int = 8) -> int:
 _DEFAULT_NORM = 'gn'
 
 
+class _GroupNormFast(nn.Module):
+    """GroupNorm computed without the (..., G, C/G) reshape.
+
+    flax's nn.GroupNorm reshapes to split the group axis; on TPU that
+    reshape moves the minor dim from C (=128 lanes, aligned) to C/G (=8-16)
+    and XLA materializes several full-size fp32 intermediates plus layout
+    copies around it — measured ~2.5 GB of extra HBM writes per forward at
+    flagship scale (HLO audit, round 2). Here the stats come from plain
+    channel-wise sum/sum-of-squares reductions (one streaming pass, fp32
+    accumulation, layout preserved) combined per-group on a (B, C)-sized
+    array, and the normalization is folded into a single per-channel
+    multiply-add that XLA fuses into the neighbouring op.
+
+    Same formula as flax (var = E[x^2] - E[x]^2, eps inside rsqrt), same
+    param tree ({scale, bias} of shape (C,)); differs only in fp reduction
+    order."""
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+
+        red = tuple(range(1, x.ndim - 1))          # spatial dims
+        x32 = x.astype(jnp.float32)
+        s1 = jnp.sum(x32, axis=red)                # (B, C)
+        s2 = jnp.sum(x32 * x32, axis=red)          # (B, C) — same fused pass
+        b = x.shape[0]
+        n = (x.size // (b * c)) * (c // g)         # elements per (b, group)
+        gs1 = s1.reshape(b, g, c // g).sum(-1)     # (B, G), tiny
+        gs2 = s2.reshape(b, g, c // g).sum(-1)
+        mean = gs1 / n
+        var = gs2 / n - mean * mean
+        inv = jax.lax.rsqrt(var + self.epsilon)    # (B, G)
+        # fold scale/shift into per-(b, channel) a, b2: y = x * a + b2
+        inv_c = jnp.repeat(inv, c // g, axis=-1)   # (B, C)
+        mean_c = jnp.repeat(mean, c // g, axis=-1)
+        a = inv_c * scale.astype(jnp.float32)
+        b2 = bias.astype(jnp.float32) - mean_c * a
+        shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        dt = jnp.promote_types(x.dtype, scale.dtype)
+        return (x.astype(dt) * a.reshape(shape).astype(dt)
+                + b2.reshape(shape).astype(dt))
+
+
 def set_default_norm(kind: str) -> None:
     """Process-wide default normalisation for all layers built afterwards
     ('gn' | 'ln' | 'bn_frozen' | 'none'); wired from cfg.MODEL.NORM by
@@ -88,7 +136,8 @@ class Norm(nn.Module):
             bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
             inv = jax.lax.rsqrt(var + self.eps) * scale
             return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias.astype(x.dtype)
-        return nn.GroupNorm(num_groups=_num_groups(x.shape[-1], self.groups))(x)
+        return _GroupNormFast(num_groups=_num_groups(x.shape[-1], self.groups),
+                              name='GroupNorm_0')(x)
 
 
 def upsample_bilinear(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
