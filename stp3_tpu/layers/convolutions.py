@@ -78,6 +78,12 @@ class _GroupNormFast(nn.Module):
                 + b2.reshape(shape).astype(dt))
 
 
+# NEGATIVE result (round 2, do not retry): an _LayerNormFast analogous to
+# _GroupNormFast (single sum/sum^2 pass over the channel axis, fused
+# multiply-add apply) REGRESSED the flagship path 92.45 -> 93.55 ms
+# (medians of 3-4 runs). Unlike GroupNorm, flax's LayerNorm has no
+# group-split reshape, so XLA already fuses its fp32 converts into the
+# surrounding ops; the hand-rolled version only disturbed that fusion.
 def set_default_norm(kind: str) -> None:
     """Process-wide default normalisation for all layers built afterwards
     ('gn' | 'ln' | 'bn_frozen' | 'none'); wired from cfg.MODEL.NORM by

@@ -26,7 +26,15 @@ class ConvGRUCell(nn.Module):
 
     The update and reset gates share the same input, so their two 3x3 convs
     are fused into one conv with 2x hidden outputs — halves the sequential
-    conv dispatches in the (deeply serial) GRU rollouts."""
+    conv dispatches in the (deeply serial) GRU rollouts.
+
+    NEGATIVE result (round 2, do not retry): computing both cell convs
+    concat-free on a split kernel (conv(x, K[:,:,:Cx]) + conv(s,
+    K[:,:,Cx:])) wins 6.1 -> 3.6 ms on a standalone 9-step rollout at
+    (200,200,64) bf16, but REGRESSES the full flagship path 92.3 ->
+    99.0 ms: in the real graph the batch-1 convs run in space-to-batch
+    layouts, and the split doubles the conv-input staging + output
+    materialization that the standalone probe doesn't see."""
     hidden_size: int
     gru_bias_init: float = 0.0
 

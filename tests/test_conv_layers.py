@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from stp3_tpu.layers.convolutions import _AtrousConv, _GroupNormFast, ASPP, Norm
+from stp3_tpu.layers.convolutions import (
+    _AtrousConv, _GroupNormFast, ASPP, Bottleblock, ConvNeXtBlock, Norm)
 
 
 @pytest.mark.parametrize('h,w,rate', [
@@ -66,6 +67,15 @@ def test_groupnorm_fast_bf16_policy():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(out_ref), rtol=0.05, atol=0.05)
+
+
+def test_ln_param_trees_unchanged():
+    """Bottleblock / ConvNeXtBlock keep the LayerNorm_i auto-number param
+    paths checkpoints rely on."""
+    v = Bottleblock(16).init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)))
+    assert {'LayerNorm_0', 'LayerNorm_1', 'LayerNorm_2'} <= set(v['params'])
+    v = ConvNeXtBlock().init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)))
+    assert 'LayerNorm_0' in v['params']
 
 
 def test_norm_param_tree_unchanged():

@@ -5,7 +5,18 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from stp3_tpu.layers.temporal import CausalConv3d, TemporalBlock
+from stp3_tpu.layers.temporal import CausalConv3d, ConvGRUCell, TemporalBlock
+
+
+def test_conv_gru_cell_param_tree_unchanged():
+    """ConvGRUCell keeps {gates,candidate}/{kernel,bias} with the concat
+    kernel shapes existing checkpoints / the torch importer use."""
+    cell = ConvGRUCell(hidden_size=8)
+    v = cell.init(jax.random.PRNGKey(0),
+                  jnp.zeros((1, 4, 4, 6)), jnp.zeros((1, 4, 4, 8)))
+    assert set(v['params'].keys()) == {'gates', 'candidate'}
+    assert v['params']['gates']['kernel'].shape == (3, 3, 14, 16)
+    assert v['params']['candidate']['kernel'].shape == (3, 3, 14, 8)
 
 
 @pytest.mark.parametrize('kt,dil', [(2, (1, 1, 1)), (1, (1, 1, 1)), (3, (2, 1, 1))])
