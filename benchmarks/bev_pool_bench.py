@@ -56,11 +56,11 @@ def main():
 
     for dtype in [jnp.float32, jnp.bfloat16]:
         ff_t = flat_feats.astype(dtype)
-        for method in ['sort', 'scatter', 'pallas']:
+        for method in ['sort', 'scatter', 'pallas', 'pallas2']:
             @jax.jit
             def step(ff, cc, vv, carry, method=method):
                 ff = ff + carry.astype(ff.dtype) * 0
-                if method == 'pallas':   # pallas_call does not vmap on TPU
+                if method.startswith('pallas'):   # pallas_call does not vmap on TPU
                     out = jnp.stack([
                         BP.bev_pool(ff[i], cc[i], vv[i], dim_np, method=method)
                         for i in range(ff.shape[0])])
@@ -85,7 +85,7 @@ def main():
     print(f'ranks+argsort: {timeit_chain(step_sort, (coords, valid)):.2f} ms',
           flush=True)
 
-    for method in ['sort', 'scatter']:
+    for method in ['sort', 'scatter', 'pallas2']:
         @jax.jit
         def step_proj(ff, gg, ee, carry, method=method):
             ff = ff + carry.astype(ff.dtype) * 0

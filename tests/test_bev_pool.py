@@ -69,6 +69,44 @@ def test_bev_pool_pallas_matches_oracle_interpret():
         np.testing.assert_allclose(grad, expected, atol=1e-5)
 
 
+def test_bev_pool_pallas_v2_matches_oracle_interpret():
+    """v2 kernel (branch-free overflow row, in-kernel fp32 staging,
+    unrolled rank walk) vs dense oracle (+ VJP), interpreter mode."""
+    from jax.experimental.pallas import tpu as pltpu
+    feats, coords, valid = _random_points(p=300, c=8, seed=5)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(BP.bev_pool(jnp.asarray(feats), jnp.asarray(coords),
+                                     jnp.asarray(valid), BEV_DIM, method='pallas2'))
+        oracle = BP.bev_pool_dense_reference(feats, coords, valid, BEV_DIM)
+        np.testing.assert_allclose(out, oracle, atol=1e-4)
+
+        g = np.random.RandomState(6).randn(10, 10, 8).astype(np.float32)
+
+        def f(x):
+            return jnp.sum(BP.bev_pool(x, jnp.asarray(coords), jnp.asarray(valid),
+                                       BEV_DIM, method='pallas2') * g)
+        grad = np.asarray(jax.grad(f)(jnp.asarray(feats)))
+        expected = np.zeros_like(feats)
+        for p in range(feats.shape[0]):
+            if valid[p]:
+                expected[p] = g[coords[p, 0], coords[p, 1]]
+        np.testing.assert_allclose(grad, expected, atol=1e-5)
+
+
+def test_bev_pool_pallas_v2_bf16_inputs_interpret():
+    """bf16 feats path: fp32 accumulation inside the kernel, bf16 out."""
+    from jax.experimental.pallas import tpu as pltpu
+    feats, coords, valid = _random_points(p=260, c=8, seed=7)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(BP.bev_pool(
+            jnp.asarray(feats).astype(jnp.bfloat16), jnp.asarray(coords),
+            jnp.asarray(valid), BEV_DIM, method='pallas2'), dtype=np.float32)
+    oracle = BP.bev_pool_dense_reference(
+        np.asarray(jnp.asarray(feats).astype(jnp.bfloat16), dtype=np.float32),
+        coords, valid, BEV_DIM)
+    np.testing.assert_allclose(out, oracle, rtol=0.02, atol=0.05)
+
+
 def test_fused_lift_splat_matches_materialized():
     """Fused pallas lift+splat == softmax-outer-product + scatter path,
     forward AND gradients (interpret mode)."""
