@@ -50,6 +50,70 @@ class ConvGRUCell(nn.Module):
         return (1.0 - update) * state + update * tilde
 
 
+class _RawConv(nn.Module):
+    """3x3 SAME conv with directly-declared {kernel, bias} params (same
+    shapes/init as nn.Conv) that can be applied to an input-channel SLICE
+    of the kernel. Lets a caller hoist the contribution of a
+    loop-invariant input out of a serial rollout while keeping the
+    nn.Conv param tree (checkpoints / torch importer unaffected)."""
+    features: int
+    cin: int
+
+    def setup(self):
+        self.kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                                 (3, 3, self.cin, self.features))
+        self.bias = self.param('bias', nn.initializers.zeros, (self.features,))
+
+    def slice_apply(self, x, lo: int, hi: Optional[int], with_bias: bool):
+        k = self.kernel[:, :, lo:hi].astype(x.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ('NHWC', 'HWIO', 'NHWC'))
+        out = jax.lax.conv_general_dilated(x, k, (1, 1), 'SAME',
+                                           dimension_numbers=dn)
+        return out + self.bias.astype(out.dtype) if with_bias else out
+
+
+class _LatentGRUCell(nn.Module):
+    """ConvGRUCell specialisation for a rollout whose input x is the SAME
+    array every step (DualGRU cell 1: x = the latent sample). The x-half
+    of both cell convs (conv(concat([x, s]), K) == conv(x, K[:,:,:Cx]) +
+    conv(s, K[:,:,Cx:])) is loop-invariant, so ``x_maps`` computes it
+    once and the serial rollout only convolves the state half — 33% less
+    conv input per step and no concat staging. Same math and the same
+    param tree as ConvGRUCell ({gates, candidate}/{kernel, bias}); only
+    fp reassociation differs.
+
+    (This is NOT the reverted whole-cell split — per step there is still
+    exactly ONE conv per gate, now on fewer channels; the x conv runs
+    once per rollout instead of once per step.)"""
+    hidden_size: int
+    x_channels: int
+    gru_bias_init: float = 0.0
+
+    def setup(self):
+        cin = self.x_channels + self.hidden_size
+        self.gates = _RawConv(2 * self.hidden_size, cin)
+        self.candidate = _RawConv(self.hidden_size, cin)
+
+    def x_maps(self, x):
+        """Precompute the x-half contributions (call once per rollout)."""
+        cx = self.x_channels
+        return (self.gates.slice_apply(x, 0, cx, with_bias=True),
+                self.candidate.slice_apply(x, 0, cx, with_bias=True))
+
+    def __call__(self, x_maps, state):
+        gx, cx_map = x_maps
+        cx = self.x_channels
+        h = self.hidden_size
+        gates = (gx + self.gates.slice_apply(state, cx, None, with_bias=False)
+                 + self.gru_bias_init)
+        update = nn.sigmoid(gates[..., :h])
+        reset = nn.sigmoid(gates[..., h:])
+        tilde = cx_map + self.candidate.slice_apply(
+            (1.0 - reset) * state, cx, None, with_bias=False)
+        return (1.0 - update) * state + update * tilde
+
+
 class SpatialGRU(nn.Module):
     """Scan a ConvGRU over (B, T, H, W, C); per-step 1x1 conv decoder
     (reference temporal.py:11-57)."""
@@ -95,7 +159,10 @@ class DualGRU(nn.Module):
         """x: (B, 1, H, W, latent); state: (B, n_present, H, W, C)."""
         assert x.shape[-1] == self.input_size
         n_present = state.shape[1]
-        cell1 = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell1')
+        # cell 1's input is the SAME latent sample every step -> hoist its
+        # conv contributions out of the serial rollout (_LatentGRUCell)
+        cell1 = _LatentGRUCell(self.hidden_size, self.input_size,
+                               self.gru_bias_init, name='cell1')
         cell2 = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell2')
         decoder2 = nn.Conv(self.hidden_size, (3, 3), padding='SAME', name='decoder2')
         trust = nn.Sequential([Bottleblock(self.hidden_size),
@@ -108,11 +175,11 @@ class DualGRU(nn.Module):
 
         rnn_state1 = state[:, -1]
         rnn_state2 = state[:, -1]
-        x0 = x[:, 0]
+        x0_maps = cell1.x_maps(x[:, 0])
 
         def step(carry, _):
             s1, s2, hh = carry
-            s1 = cell1(x0, s1)
+            s1 = cell1(x0_maps, s1)
             hh = cell2(s2, hh)
             s2 = decoder2(hh)
             mix = jnp.concatenate([s1, s2], axis=-1)

@@ -12,14 +12,17 @@ ncells marks invalid points (skipped). ncells * C * 4B must fit VMEM
 (200*200*64 fp32 = 10.2 MB on a 16 MB core). Ranks are staged to SMEM as
 (chunk/128, 128) blocks to satisfy Mosaic's (8, 128) tiling rules.
 
-Measured 1.5x faster than XLA's scatter lowering STANDALONE at flagship
-scale (18.3 ms vs 27.1 ms for BSxP = 3x484k, C=64 on v5e;
-benchmarks/bev_pool_bench.py) but slower end-to-end inside the full
-forward graph (sequential per-frame launches + fp32 staging forfeit XLA's
-fusion), so ``method='auto'`` resolves to 'scatter'. Not vmappable —
-batch via a static python loop. Kept as the base for a future fused
-lift+splat variant (fold the depth-softmax outer product into the kernel
-so the (BS, N, D, Hf, Wf, C) intermediate never materialises).
+Two generations live here. The round-1 v1 kernel (``bev_pool_pallas``)
+measured 1.5x faster than XLA standalone but LOST end-to-end: it staged
+the whole (P, C) array to fp32 in HBM and ran a branchy per-point loop
+with div/mod rank indexing. The round-2 v2 kernel
+(``bev_pool_pallas_v2``) fixes all three (bf16 blocks converted in a
+VMEM scratch per chunk, branch-free overflow-row accumulate, nested
+row/lane rank walk) and WINS both standalone (3.8 vs 6.6 ms per
+484k-point frame vs XLA's deg-16 split scatter, ~7.6 cycles/point) and
+end-to-end (flagship bench 92.5 -> 85.5 ms), so ``method='auto'``
+resolves to 'pallas2' on a single-device TPU backend. Neither kernel
+vmaps — batch via a static python loop.
 """
 from __future__ import annotations
 

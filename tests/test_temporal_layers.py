@@ -5,7 +5,30 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from stp3_tpu.layers.temporal import CausalConv3d, ConvGRUCell, TemporalBlock
+from stp3_tpu.layers.temporal import (
+    CausalConv3d, ConvGRUCell, TemporalBlock, _LatentGRUCell)
+
+
+def test_latent_gru_cell_matches_conv_gru_cell():
+    """_LatentGRUCell (hoisted x-half convs) == ConvGRUCell on the same
+    params over a multi-step rollout with a CONSTANT x, fp32."""
+    rng = np.random.RandomState(0)
+    cx, h = 5, 8
+    x = jnp.asarray(rng.randn(2, 6, 7, cx).astype(np.float32))
+    s = jnp.asarray(rng.randn(2, 6, 7, h).astype(np.float32))
+    ref = ConvGRUCell(hidden_size=h, gru_bias_init=0.5)
+    rv = ref.init(jax.random.PRNGKey(1), x, s)
+    rv = jax.tree.map(lambda a: jnp.asarray(
+        rng.randn(*a.shape).astype(np.float32) * 0.3), rv)
+    fast = _LatentGRUCell(hidden_size=h, x_channels=cx, gru_bias_init=0.5)
+    # same param tree -> same variables restore into both
+    maps = fast.apply(rv, x, method=_LatentGRUCell.x_maps)
+    s_ref, s_fast = s, s
+    for _ in range(4):
+        s_ref = ref.apply(rv, x, s_ref)
+        s_fast = fast.apply(rv, maps, s_fast)
+    np.testing.assert_allclose(np.asarray(s_fast), np.asarray(s_ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_conv_gru_cell_param_tree_unchanged():
