@@ -107,6 +107,26 @@ def test_bev_pool_pallas_v2_bf16_inputs_interpret():
     np.testing.assert_allclose(out, oracle, rtol=0.02, atol=0.05)
 
 
+def test_bev_pool_pallas_v2_multichunk_interpret():
+    """Grid with several chunks: the VMEM accumulator must persist across
+    grid steps (zero-initialised only at step 0) and padding points must
+    land on the overflow row."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stp3_tpu.ops.pallas import bev_pool_kernel as K
+    rng = np.random.RandomState(11)
+    p, c, ncells = 600, 8, 100
+    feats = rng.randn(p, c).astype(np.float32)
+    ranks = rng.randint(0, ncells + 1, size=(p,)).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(K._forward_v2(jnp.asarray(feats), jnp.asarray(ranks),
+                                       ncells, chunk=256, unroll=4))
+    oracle = np.zeros((ncells, c), np.float64)
+    for i in range(p):
+        if ranks[i] < ncells:
+            oracle[ranks[i]] += feats[i]
+    np.testing.assert_allclose(out, oracle, atol=1e-4)
+
+
 def test_fused_lift_splat_matches_materialized():
     """Fused pallas lift+splat == softmax-outer-product + scatter path,
     forward AND gradients (interpret mode)."""
