@@ -180,7 +180,14 @@ def install() -> None:
         tv.transforms = tv_transforms
 
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never prepend: the reference root also contains
+        # carla_agent.py / train.py / evaluate.py, which would otherwise
+        # shadow this repo's same-named root modules for every test that
+        # runs after this module is imported at collection time (the
+        # reference's carla_agent imports the real `carla` package ->
+        # ModuleNotFoundError in test_agent). The reference's `stp3`
+        # package name is unique, so append still resolves it.
+        sys.path.append(REFERENCE_ROOT)
 
 
 # --------------------------------------------------------------- test helpers
