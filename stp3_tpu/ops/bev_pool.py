@@ -140,7 +140,19 @@ def _project_impl(feats, geometry, future_egomotion, bev_resolution, bev_start_p
     flat_valid = valid.reshape(b, s, -1)
 
     pool = partial(bev_pool, bev_dimension=np.asarray(bev_dimension_t), method=method)
-    if method in ('pallas', 'pallas2'):
+    if method == 'pallas2b':
+        # all B*S frames as ONE pipelined kernel launch (leading grid dim
+        # over frames); invalid points land on the kernel's overflow row,
+        # so no pre-masking of feats is needed. Opt-in until A/B-benched
+        # against the per-frame 'pallas2' launches on the chip.
+        from stp3_tpu.ops.pallas.bev_pool_kernel import bev_pool_pallas_v2_batched
+        ncells = nx * ny * nz
+        ranks = _ranks(flat_coords, flat_valid, np.asarray(bev_dimension_t))
+        out = bev_pool_pallas_v2_batched(
+            flat_feats.reshape(b * s, -1, c), ranks.reshape(b * s, -1),
+            ncells)
+        splat = out.reshape(b, s, nx, ny, nz * c)
+    elif method in ('pallas', 'pallas2'):
         # pallas_call does not vmap; B*S is tiny (<=  batch x 3 frames), so a
         # static python loop compiles to sequential kernel launches
         splat = jnp.stack([

@@ -181,6 +181,152 @@ bev_pool_pallas_v2.defvjp(_fwd_v2, lambda ncells, ranks, g: (
         jnp.clip(ranks, 0, ncells)], None))
 
 
+def _scatter_kernel_v2b(ranks_ref, feats_ref, out_ref, scratch_ref, *,
+                        rows: int, unroll: int):
+    """Frame-batched variant: grid (F, n_chunks); the accumulator block is
+    per-frame (zeroed when the chunk index wraps to 0) and the pipeline
+    streams all frames in ONE kernel launch."""
+    chunk_idx = pl.program_id(1)
+
+    @pl.when(chunk_idx == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    scratch_ref[...] = feats_ref[...].astype(jnp.float32)
+
+    def row_body(row, _):
+        def lane_body(l0, _):
+            for u in range(unroll):
+                lane = l0 * unroll + u
+                r = ranks_ref[0, row, lane]
+                i = row * _LANE + lane
+                out_ref[0, pl.ds(r, 1), :] += scratch_ref[0, pl.ds(i, 1), :]
+            return 0
+        jax.lax.fori_loop(0, _LANE // unroll, lane_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, rows, row_body, 0)
+
+
+def _forward_v2_batched(feats, ranks, ncells, chunk=_CHUNK, unroll=8):
+    """feats (F, P, C); ranks (F, P) int32 -> (F, ncells, C)."""
+    in_dtype = feats.dtype
+    f, p, c = feats.shape
+    chunk = min(chunk, -(-p // _LANE) * _LANE)
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+        ranks = jnp.pad(ranks, ((0, 0), (0, pad)), constant_values=ncells)
+    ranks3d = ranks.reshape(f, n_chunks * chunk // _LANE, _LANE)
+    rows = chunk // _LANE
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel_v2b, rows=rows, unroll=unroll),
+        grid=(f, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows, _LANE), lambda fi, i: (fi, i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, c), lambda fi, i: (fi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ncells + 8, c), lambda fi, i: (fi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, ncells + 8, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, chunk, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(ranks3d, feats)
+    return out[:, :ncells].astype(in_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bev_pool_pallas_v2_batched(feats, ranks, ncells: int):
+    """feats (F, P, C); ranks (F, P) int32 in [0, ncells] (ncells =
+    invalid). Returns (F, ncells, C): per-frame scatter-adds in one
+    pipelined kernel launch."""
+    return _forward_v2_batched(feats, ranks, ncells)
+
+
+def _fwd_v2b(feats, ranks, ncells):
+    return _forward_v2_batched(feats, ranks, ncells), ranks
+
+
+def _bwd_v2b(ncells, ranks, g):
+    g_ext = jnp.concatenate([g, jnp.zeros_like(g[:, :1])], axis=1)
+    dfeats = jnp.take_along_axis(
+        g_ext, jnp.clip(ranks, 0, ncells)[..., None], axis=1)
+    return dfeats, None
+
+
+bev_pool_pallas_v2_batched.defvjp(_fwd_v2b, _bwd_v2b)
+
+
+# =====================================================================
+# v2 backward: row gather from a VMEM-resident table
+# =====================================================================
+def _gather_kernel_v2(ranks_ref, table_ref, out_ref, scratch_ref, *,
+                      rows: int, unroll: int):
+    """out[i] = table[ranks[i]] — the VJP of the v2 scatter. The (ncells,
+    C) cotangent table is VMEM-resident for the whole kernel; each point
+    does one dynamic row read + one sequential scratch write, and the
+    chunk converts to the output dtype as a single vector op. Mirrors the
+    v2 scatter's structure (same reason it beats XLA's index-bound
+    gather)."""
+    del rows
+    scratch_ref  # touched below
+
+    def row_body(row, _):
+        def lane_body(l0, _):
+            for u in range(unroll):
+                lane = l0 * unroll + u
+                r = ranks_ref[row, lane]
+                i = row * _LANE + lane
+                scratch_ref[pl.ds(i, 1), :] = table_ref[pl.ds(r, 1), :]
+            return 0
+        jax.lax.fori_loop(0, _LANE // unroll, lane_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ranks_ref.shape[0], row_body, 0)
+    out_ref[...] = scratch_ref[...].astype(out_ref.dtype)
+
+
+def gather_rows_pallas(table: jnp.ndarray, ranks: jnp.ndarray,
+                       out_dtype=None, chunk: int = _CHUNK,
+                       unroll: int = 8) -> jnp.ndarray:
+    """table (T, C) — rows indexed by ranks (P,) int32 in [0, T).
+    Returns (P, C) in out_dtype (default table.dtype). The caller is
+    responsible for clipping ranks into range (the splat VJP maps the
+    overflow row to zeros by appending a zero row to the cotangent)."""
+    out_dtype = out_dtype or table.dtype
+    t, c = table.shape
+    p = ranks.shape[0]
+    table32 = table.astype(jnp.float32)
+    chunk = min(chunk, -(-p // _LANE) * _LANE)
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    if pad:
+        ranks = jnp.pad(ranks, (0, pad))
+    ranks2d = ranks.reshape(n_chunks * chunk // _LANE, _LANE)
+    rows = chunk // _LANE
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel_v2, rows=rows, unroll=unroll),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((rows, _LANE), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * chunk, c), out_dtype),
+        scratch_shapes=[pltpu.VMEM((chunk, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(ranks2d, table32)
+    return out[:p]
+
+
 # =====================================================================
 # Fused lift + splat
 # =====================================================================

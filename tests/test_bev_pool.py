@@ -127,6 +127,78 @@ def test_bev_pool_pallas_v2_multichunk_interpret():
     np.testing.assert_allclose(out, oracle, atol=1e-4)
 
 
+def test_bev_pool_pallas_v2_batched_interpret():
+    """Frame-batched kernel (one launch, grid over frames) == per-frame
+    oracle, forward and VJP; also drives project_to_birds_eye_view's
+    pallas2 path against the scatter path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stp3_tpu.ops.pallas import bev_pool_kernel as K
+    rng = np.random.RandomState(13)
+    f, p, c, ncells = 3, 300, 8, 100
+    feats = rng.randn(f, p, c).astype(np.float32)
+    ranks = rng.randint(0, ncells + 1, size=(f, p)).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(K.bev_pool_pallas_v2_batched(
+            jnp.asarray(feats), jnp.asarray(ranks), ncells))
+        g = rng.randn(f, ncells, c).astype(np.float32)
+
+        def loss(x):
+            return jnp.sum(K.bev_pool_pallas_v2_batched(
+                x, jnp.asarray(ranks), ncells) * g)
+        grad = np.asarray(jax.grad(loss)(jnp.asarray(feats)))
+    oracle = np.zeros((f, ncells, c), np.float64)
+    gexp = np.zeros_like(feats)
+    for fi in range(f):
+        for i in range(p):
+            if ranks[fi, i] < ncells:
+                oracle[fi, ranks[fi, i]] += feats[fi, i]
+                gexp[fi, i] = g[fi, ranks[fi, i]]
+    np.testing.assert_allclose(out, oracle, atol=1e-4)
+    np.testing.assert_allclose(grad, gexp, atol=1e-5)
+
+
+def test_gather_rows_pallas_interpret():
+    """Row-gather kernel (v2 scatter's measured-candidate backward) ==
+    numpy indexing, multi-chunk, bf16 table + out."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stp3_tpu.ops.pallas.bev_pool_kernel import gather_rows_pallas
+    rng = np.random.RandomState(19)
+    t, c, p = 64, 8, 600
+    table = rng.randn(t, c).astype(np.float32)
+    ranks = rng.randint(0, t, size=(p,)).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(gather_rows_pallas(jnp.asarray(table),
+                                            jnp.asarray(ranks), chunk=256))
+        out16 = np.asarray(gather_rows_pallas(
+            jnp.asarray(table).astype(jnp.bfloat16), jnp.asarray(ranks),
+            chunk=256), dtype=np.float32)
+    np.testing.assert_allclose(out, table[ranks], atol=1e-6)
+    np.testing.assert_allclose(
+        out16, np.asarray(jnp.asarray(table).astype(jnp.bfloat16),
+                          dtype=np.float32)[ranks], atol=1e-6)
+
+
+@pytest.mark.parametrize('method', ['pallas2', 'pallas2b'])
+def test_project_pallas2_matches_scatter_interpret(method):
+    """Full project_to_birds_eye_view: pallas2 (per-frame launches) and
+    pallas2b (one frame-batched launch) == scatter (XLA) including the
+    ego-motion pre-warp and discount accumulate."""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.RandomState(17)
+    b, s, n, d, hf, wf, c = 1, 2, 2, 4, 3, 5, 6
+    feats = jnp.asarray(rng.randn(b, s, n, d, hf, wf, c).astype(np.float32))
+    geom = jnp.asarray((rng.rand(b, s, n, d, hf, wf, 3) * 14 - 7).astype(np.float32))
+    ego = jnp.asarray(np.tile(np.array([1.0, 0, 0, 0, 0, 0.1], np.float32),
+                              (b, s, 1)))
+    args = (feats, geom, ego, jnp.asarray(BEV_RES), jnp.asarray(BEV_START),
+            BEV_DIM)
+    ref = BP.project_to_birds_eye_view(*args, method='scatter')
+    with pltpu.force_tpu_interpret_mode():
+        out = BP.project_to_birds_eye_view(*args, method=method)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_lift_splat_matches_materialized():
     """Fused pallas lift+splat == softmax-outer-product + scatter path,
     forward AND gradients (interpret mode)."""
