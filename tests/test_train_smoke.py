@@ -130,6 +130,30 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4 * lr)
 
 
+def test_allreduce_host_tree_multiprocess(monkeypatch):
+    """allreduce_host_tree sums metric-state pytrees across processes
+    (Lightning dist_reduce_fx='sum' equivalent). Single-process JAX cannot
+    spawn real processes here, so the cross-host gather is monkeypatched:
+    the sum semantics and tree structure are what this pins."""
+    from stp3_tpu.parallel import mesh as M
+
+    tree = {'tp': np.array([1, 2, 3], np.int64), 'l2': np.float64(1.5)}
+
+    # single-process: identity (no gather call)
+    out = M.allreduce_host_tree(tree)
+    assert out is tree
+
+    # simulated 3-process run: each "process" contributes its own state
+    from jax.experimental import multihost_utils
+    monkeypatch.setattr(jax, 'process_count', lambda: 3)
+    monkeypatch.setattr(multihost_utils, 'process_allgather',
+                        lambda x: np.stack([x, 2 * x, 3 * x]))
+    out = M.allreduce_host_tree(tree)
+    np.testing.assert_array_equal(out['tp'], np.array([6, 12, 18]))
+    assert out['l2'] == pytest.approx(9.0)
+    assert out['tp'].dtype == np.int64
+
+
 def test_fast_two_device_train_step():
     """Fast-tier mesh coverage: a 2-device sharded train step on the
     smallest graph (identity temporal, perception-only) so parallel/mesh.py
