@@ -85,7 +85,7 @@ def main():
     print(f'ranks+argsort: {timeit_chain(step_sort, (coords, valid)):.2f} ms',
           flush=True)
 
-    for method in ['sort', 'scatter', 'pallas2']:
+    for method in ['sort', 'scatter', 'pallas2', 'pallas2b']:
         @jax.jit
         def step_proj(ff, gg, ee, carry, method=method):
             ff = ff + carry.astype(ff.dtype) * 0

@@ -1,8 +1,9 @@
 """Sub-stage latency of the distribution+future stage (the fattest stage of
-the full forward, ~37 ms of ~94): DistributionModule, DualGRU rollout,
+the full forward, ~30 ms of ~85): DistributionModule, DualGRU rollout,
 ConvNeXt res block, one SpatialGRU pass, DeepLabHead — each standalone at
-flagship shapes (200x200x64 BEV, rf=3, 6 future frames), bf16, chained
-timing. Fresh random params per block (latency does not need trained
+flagship shapes (200x200x64 BEV, rf=3, 6 future frames), bf16, in-graph
+chained timing (these stages run below/near the tunnel's per-dispatch
+cost). Fresh random params per block (latency does not need trained
 weights).
 
 Run: python benchmarks/future_breakdown.py
@@ -32,25 +33,13 @@ NF = 6
 LATENT = 32
 
 
-def dep(x, c):
-    return x + (c * 0).astype(x.dtype)
-
-
-def timeit_chain(f, n=5, reps=3):
-    c = f(jnp.zeros(()))
-    float(c)
-    best = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        c = jnp.zeros(())
-        for _ in range(n):
-            c = f(c)
-        float(c)
-        best.append((time.perf_counter() - t0) / n * 1000.0)
-    return float(np.percentile(best, 50))
-
-
-def bench(name, module, *args, method=None):
+def bench(name, module, *args, iters=30):
+    """In-graph chained timing (CLAUDE.md methodology: these sub-stages run
+    5-30 ms, well under the ~10 ms/dispatch tunnel floor, so the iteration
+    chain must live INSIDE one jitted program — a host loop times the
+    tunnel). Variables and inputs are jit ARGUMENTS, not closure constants
+    (closure-baked arrays blow the remote-compile payload limit)."""
+    from static_splat_bench import _chain_overhead_ms
     from stp3_tpu.utils.precision import cast_floating
     # init in fp32 (mixed bf16 inputs + fp32 init params break scan carries)
     f32_args = [a.astype(jnp.float32) for a in args]
@@ -58,13 +47,23 @@ def bench(name, module, *args, method=None):
     variables = cast_floating(variables, DT)
 
     @jax.jit
-    def run(c):
-        out = module.apply(variables, dep(args[0], c), *args[1:])
-        if isinstance(out, dict):
-            out = next(v for v in out.values() if v is not None)
-        return out.ravel()[0].astype(jnp.float32)
+    def chained(variables, args):
+        def body(_, c):
+            a = (args[0] + c.astype(args[0].dtype) * 1e-12,) + args[1:]
+            out = module.apply(variables, *a)
+            if isinstance(out, dict):
+                out = next(v for v in out.values() if v is not None)
+            return out.ravel()[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    print(f'{name}: {timeit_chain(run):.2f} ms', flush=True)
+    overhead = _chain_overhead_ms()
+    float(chained(variables, args))  # compile + settle
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(variables, args))
+        times.append(((time.perf_counter() - t0) * 1000.0 - overhead) / iters)
+    print(f'{name}: {max(float(np.median(times)), 0.0):.2f} ms', flush=True)
 
 
 def main():

@@ -59,31 +59,65 @@ _INSTR_RE = re.compile(
 _OPNAME_RE = re.compile(r'op_name="([^"]*)"')
 
 
-def audit(hlo_text: str):
-    """Yield (instr_name, opcode, out_bytes, op_name) for materialized
-    (non-fusion-body) instructions."""
-    in_fusion_body = False
+# A computation header sits at column 0: `[ENTRY ]%name (params) -> type {`.
+# `.*` (greedy) is required: tuple-typed params (every while body/cond, e.g.
+# `%region_0.1 (arg_tuple.1: (s32[], f32[8,8])) -> (...)`) contain nested
+# parens that a lazy `[^)]*` stops at, silently mis-tracking body state.
+_COMP_HEADER_RE = re.compile(r'^(ENTRY\s+)?(%?[\w.\-]+)\s+\(.*\)\s*->')
+
+_SKIP_OPCODES = ('parameter', 'constant', 'tuple', 'get-tuple-element',
+                 'bitcast')
+
+
+def _iter_computations(hlo_text: str):
+    """Yield (comp_name, is_entry, instr_rows) per computation; instr_rows
+    are (instr_name, opcode, out_bytes, op_name)."""
+    comp, is_entry, rows = None, False, []
     for line in hlo_text.splitlines():
-        header = re.match(r'^(%?[\w.\-]+)\s+\([^)]*\)\s*->', line)
-        if line.startswith('ENTRY'):
-            in_fusion_body = False
-            continue
-        if header:
-            in_fusion_body = header.group(1).lstrip('%').startswith(
-                ('fused_computation', 'region'))
+        if line and not line[0].isspace():
+            hm = _COMP_HEADER_RE.match(line)
+            if hm:
+                if comp is not None:
+                    yield comp, is_entry, rows
+                comp, is_entry, rows = hm.group(2).lstrip('%'), bool(hm.group(1)), []
             continue
         m = _INSTR_RE.match(line)
-        if not m or in_fusion_body:
+        if not m or comp is None:
             continue
         name, shape, opcode = m.groups()
-        if opcode in ('parameter', 'constant', 'tuple', 'get-tuple-element',
-                      'bitcast'):
+        if opcode in _SKIP_OPCODES:
             continue
-        op_name = ''
         om = _OPNAME_RE.search(line)
-        if om:
-            op_name = om.group(1)
-        yield name, opcode, shape_bytes(shape), op_name
+        yield_row = (name, opcode, shape_bytes(shape),
+                     om.group(1) if om else '')
+        rows.append(yield_row)
+    if comp is not None:
+        yield comp, is_entry, rows
+
+
+def audit(hlo_text: str):
+    """Yield (instr_name, opcode, out_bytes, op_name) for instructions the
+    ENTRY computation materializes. Fusion bodies live in registers/VMEM;
+    called computations (while/cond regions, wrapped_* helpers) are
+    represented by their call-site instruction's output bytes — their
+    interiors are NOT expanded (a while body's per-iteration writes are
+    reported separately by ``region_write_totals``)."""
+    for _, is_entry, rows in _iter_computations(hlo_text):
+        if is_entry:
+            yield from rows
+
+
+def region_write_totals(hlo_text: str):
+    """(comp_name, bytes) per NON-entry, non-fusion computation body —
+    the per-ITERATION materialized writes of while/cond regions (a loop
+    executing T times writes T x this; the trip count is not recoverable
+    from HLO text, so these are reported unweighted)."""
+    for comp, is_entry, rows in _iter_computations(hlo_text):
+        if is_entry or comp.startswith('fused_computation'):
+            continue
+        total = sum(r[2] for r in rows)
+        if total:
+            yield comp, total
 
 
 def stage_of(op_name: str) -> str:
@@ -165,6 +199,14 @@ def main():
     print('\n-- writes by opcode --')
     for s, b in by_opcode.most_common(12):
         print(f'{b/1e6:10.1f} MB  {s}')
+
+    regions = sorted(region_write_totals(compiled.as_text()),
+                     key=lambda r: -r[1])[:10]
+    if regions:
+        print('\n-- while/cond region bodies (bytes PER ITERATION, '
+              'not in the totals above) --')
+        for comp, b in regions:
+            print(f'{b/1e6:10.1f} MB  {comp}')
 
     if args.stage:
         print(f'\n-- top instructions matching "{args.stage}" --')

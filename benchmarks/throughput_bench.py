@@ -90,9 +90,15 @@ def main():
 
         args = (variables, image, k, e, ego)
         try:
+            # ONE AOT compile, reused for cost_analysis AND the timed
+            # chains — `.lower().compile()` for analysis followed by
+            # jitted dispatch would re-trace and re-compile the identical
+            # program per batch size (a cache round trip over the tunnel,
+            # where first compiles take minutes)
+            compiled = step.lower(*args, jnp.zeros((), dt)).compile()
             flops = None
             try:
-                ca = step.lower(*args, jnp.zeros((), dt)).compile().cost_analysis()
+                ca = compiled.cost_analysis()
                 if ca:
                     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
                     flops = float(ca.get('flops', 0.0)) or None
@@ -103,7 +109,7 @@ def main():
                 c = jnp.zeros((), dt)
                 t0 = time.perf_counter()
                 for _ in range(n):
-                    _, c = step(*args, c)
+                    _, c = compiled(*args, c)
                 float(c)   # single honest readback drains the chain
                 return (time.perf_counter() - t0) / n * 1000.0
 

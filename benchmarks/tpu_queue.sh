@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-2 TPU A/B queue — run once the tunneled chip is back up.
+# Each step logs to /tmp/tpu_queue/<name>.log; safe to re-run (compiles
+# are persistently cached). Review the logs before changing any default.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpu_queue
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* $(date +%H:%M:%S)" | tee -a /tmp/tpu_queue/queue.log
+  timeout 1800 "$@" >/tmp/tpu_queue/$name.log 2>&1
+  echo "=== $name rc=$? $(date +%H:%M:%S)" | tee -a /tmp/tpu_queue/queue.log
+  tail -15 /tmp/tpu_queue/$name.log
+}
+
+# 1. baseline confirm (cached compile, ~2 min)
+run bench_base python bench.py
+
+# 2. pallas2b e2e A/B at batch 1 (fresh compile of the batched kernel)
+run bench_p2b env STP3_SPLAT_METHOD=pallas2b python bench.py
+
+# 3. throughput at batch 8: default (pallas2) vs pallas2b
+run tput8_base python benchmarks/throughput_bench.py 8
+run tput8_p2b env STP3_SPLAT_METHOD=pallas2b python benchmarks/throughput_bench.py 8
+
+# 4. splat microbench incl. pallas2b project path
+run bevpool python benchmarks/bev_pool_bench.py
+
+# 5. train step: default bwd vs pallas row-gather bwd (batch 2)
+run train_base python benchmarks/train_bench.py 2
+run train_gbwd env STP3_SPLAT_BWD=pallas python benchmarks/train_bench.py 2
+
+# 6. train-step HBM-write audit
+run train_hlo python benchmarks/train_hlo_traffic.py
+
+# 7. dist+future sub-stage split with the FIXED in-graph-chain harness
+#    (the old host-chain numbers were dispatch-bound at this scale)
+run future_bd python benchmarks/future_breakdown.py
+
+# 8. full-forward stage split + HBM audit refresh
+run fwd_bd python benchmarks/forward_breakdown.py
+run hlo python benchmarks/hlo_traffic.py

@@ -23,7 +23,7 @@ jax.config.update('jax_compilation_cache_dir',
                   os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-from hlo_traffic import audit, stage_of  # noqa: E402
+from hlo_traffic import audit, region_write_totals, stage_of  # noqa: E402
 
 
 def main():
@@ -49,7 +49,9 @@ def main():
     state = trainer.init_state(rng, batch)
     batch = shard_batch(batch, mesh)
 
-    compiled = trainer.train_step.lower(state, batch, rng).compile()
+    # trainer.train_step is the plain dispatch method; the jitted function
+    # (the one with .lower) is trainer._train_step
+    compiled = trainer._train_step.lower(state, batch, rng).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -76,6 +78,14 @@ def main():
     print('\n-- backward writes by stage --')
     for s_, b in bwd.most_common(args.top):
         print(f'{b/1e6:10.1f} MB  {s_}')
+
+    regions = sorted(region_write_totals(compiled.as_text()),
+                     key=lambda r: -r[1])[:10]
+    if regions:
+        print('\n-- while/cond region bodies (bytes PER ITERATION, '
+              'not in the totals above) --')
+        for comp, b in regions:
+            print(f'{b/1e6:10.1f} MB  {comp}')
 
 
 if __name__ == '__main__':

@@ -65,7 +65,13 @@ class _RawConv(nn.Module):
         self.bias = self.param('bias', nn.initializers.zeros, (self.features,))
 
     def slice_apply(self, x, lo: int, hi: Optional[int], with_bias: bool):
-        k = self.kernel[:, :, lo:hi].astype(x.dtype)
+        # promote like nn.Conv (dtype=None -> common dtype of input and
+        # params): fp32 params + bf16 input must compute in fp32, not
+        # silently downcast the kernel — keeps _LatentGRUCell numerically
+        # interchangeable with ConvGRUCell under any precision mix
+        dt = jnp.promote_types(x.dtype, self.kernel.dtype)
+        k = self.kernel[:, :, lo:hi].astype(dt)
+        x = x.astype(dt)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, k.shape, ('NHWC', 'HWIO', 'NHWC'))
         out = jax.lax.conv_general_dilated(x, k, (1, 1), 'SAME',
@@ -131,9 +137,11 @@ class SpatialGRU(nn.Module):
 
         # UNROLLED python loop, not nn.scan: T <= 9 here, and the scan's
         # per-step dynamic slice/stack costs more than it saves — measured
-        # 17.0 -> 5.7 ms (chain floor ~5.5) for one standalone 9-step pass
-        # at (200,200,64) on v5e; the python-unrolled DualGRU was already
-        # far cheaper per conv than the scanned SpatialGRU
+        # 17.0 -> 5.7 ms for one standalone 9-step pass at (200,200,64) on
+        # v5e (host-chain numbers near the ~5.5 ms dispatch floor, so the
+        # RATIO is indicative, not the absolute; the unroll also carried
+        # bench.py e2e wins); the python-unrolled DualGRU was already far
+        # cheaper per conv than the scanned SpatialGRU
         states = []
         for i in range(t):
             state = cell(x[:, i], state)

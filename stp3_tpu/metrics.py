@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stp3_tpu.ops.geometry import calculate_birds_eye_view_parameters
+from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
+                                   ego_footprint_grid_pts)
 from stp3_tpu.utils.rasterize import polygon
 
 
@@ -104,15 +105,9 @@ class PlanningMetric:
         self.H = cfg.EGO.HEIGHT
         self.n_future = n_future
 
-        # ego footprint cell offsets (reference metrics.py:298-307)
-        pts = np.array([
-            [-self.H / 2.0 + 0.5, self.W / 2.0],
-            [self.H / 2.0 + 0.5, self.W / 2.0],
-            [self.H / 2.0 + 0.5, -self.W / 2.0],
-            [-self.H / 2.0 + 0.5, -self.W / 2.0],
-        ])
-        pts = (pts - self.bx) / self.dx
-        pts[:, [0, 1]] = pts[:, [1, 0]]
+        # ego footprint cell offsets (reference metrics.py:298-307); the
+        # corner convention is shared with the viz panels via one helper
+        pts = ego_footprint_grid_pts(self.W, self.H, self.bx, self.dx)
         rr, cc = polygon(pts[:, 1], pts[:, 0])
         self.footprint = jnp.asarray(np.stack([rr, cc], -1).astype(np.int32))  # (K,2)
         self.reset()

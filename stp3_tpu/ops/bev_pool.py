@@ -21,6 +21,7 @@ with method='pallas'.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -247,6 +248,12 @@ def project_to_birds_eye_view(feats: jnp.ndarray, geometry: jnp.ndarray,
     ``STP3.projection_to_birds_eye_view`` (stp3.py:226-301).
     """
     bev_dim_t = tuple(int(v) for v in np.asarray(bev_dimension))
+    if method == 'auto':
+        # benchmark escape hatch: A/B splat variants through the full model
+        # without code edits (used by benchmarks/*; unset in production)
+        env = os.environ.get('STP3_SPLAT_METHOD', '')
+        if env:
+            method = env
     if method == 'auto':
         # single-TPU: the v2 pallas kernel (branch-free serial RMW over a
         # VMEM-resident fp32 accumulator, bf16 inputs staged in-kernel)

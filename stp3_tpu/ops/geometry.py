@@ -52,6 +52,28 @@ def gen_dx_bx(xbound, ybound, zbound):
     return dx, bx, nx
 
 
+def ego_footprint_grid_pts(ego_width: float, ego_height: float,
+                           bx, dx) -> np.ndarray:
+    """Ego-vehicle footprint corners in BEV GRID coordinates, (4, 2)
+    float64, axes already swapped to (col, row) plot/raster order.
+
+    The single source of the reference's subtle footprint convention
+    (metrics.py:298-307, visualisation.py:360-371): +0.5 m longitudinal
+    offset (rear-axle to bbox-center shift) on the HEIGHT (length) axis,
+    ``(pts - bx) / dx`` grid quantization, then a row/col swap. Consumed
+    by PlanningMetric (collision cells), plot_planning_bev and
+    save_eval_figure (rasterized ego), which previously hand-copied it.
+    """
+    bx = np.asarray(bx)[:2]
+    dx = np.asarray(dx)[:2]
+    h, w = float(ego_height), float(ego_width)
+    pts = np.array([[-h / 2.0 + 0.5, w / 2.0], [h / 2.0 + 0.5, w / 2.0],
+                    [h / 2.0 + 0.5, -w / 2.0], [-h / 2.0 + 0.5, -w / 2.0]])
+    pts = (pts - bx) / dx
+    pts[:, [0, 1]] = pts[:, [1, 0]]
+    return pts
+
+
 # --------------------------------------------------------------------------
 # Camera frustum & un-projection (reference stp3.py:111-130, :186-201)
 # --------------------------------------------------------------------------

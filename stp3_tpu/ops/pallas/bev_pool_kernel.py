@@ -27,6 +27,7 @@ vmaps — batch via a static python loop.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -176,9 +177,19 @@ def _fwd_v2(feats, ranks, ncells):
     return _forward_v2(feats, ranks, ncells), ranks
 
 
-bev_pool_pallas_v2.defvjp(_fwd_v2, lambda ncells, ranks, g: (
-    jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)[
-        jnp.clip(ranks, 0, ncells)], None))
+def _bwd_v2(ncells, ranks, g):
+    """d feats[p] = g[rank[p]] (overflow row -> 0). Default: XLA gather.
+    STP3_SPLAT_BWD=pallas (read at trace time; benchmark escape hatch)
+    routes through the row-gather kernel below instead — queued for an
+    on-chip A/B against XLA's index-bound gather in the train step."""
+    table = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
+    idx = jnp.clip(ranks, 0, ncells)
+    if os.environ.get('STP3_SPLAT_BWD', '') == 'pallas':
+        return gather_rows_pallas(table, idx), None
+    return table[idx], None
+
+
+bev_pool_pallas_v2.defvjp(_fwd_v2, _bwd_v2)
 
 
 def _scatter_kernel_v2b(ranks_ref, feats_ref, out_ref, scratch_ref, *,

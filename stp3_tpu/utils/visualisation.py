@@ -154,7 +154,7 @@ def plot_planning_bev(hd_map: np.ndarray, traj: np.ndarray, cfg) -> np.ndarray:
     hd_map: (H, W, 2) binary/argmax [lane_divider, drivable_area]
     traj:   (T, 2+) metres in the BEV frame.
     """
-    from stp3_tpu.ops.geometry import gen_dx_bx
+    from stp3_tpu.ops.geometry import ego_footprint_grid_pts, gen_dx_bx
     from stp3_tpu.utils.rasterize import polygon
 
     hd_map = np.asarray(hd_map)
@@ -169,11 +169,7 @@ def plot_planning_bev(hd_map: np.ndarray, traj: np.ndarray, cfg) -> np.ndarray:
         img[m] = 0.8 * 255.0 + 0.2 * np.asarray(c)
 
     # ego footprint, NVIDIA green (reference :360-371)
-    W_, H_ = cfg.EGO.WIDTH, cfg.EGO.HEIGHT
-    pts = np.array([[-H_ / 2.0 + 0.5, W_ / 2.0], [H_ / 2.0 + 0.5, W_ / 2.0],
-                    [H_ / 2.0 + 0.5, -W_ / 2.0], [-H_ / 2.0 + 0.5, -W_ / 2.0]])
-    pts = (pts - bx) / dx
-    pts[:, [0, 1]] = pts[:, [1, 0]]
+    pts = ego_footprint_grid_pts(cfg.EGO.WIDTH, cfg.EGO.HEIGHT, bx, dx)
     rr, cc = polygon(pts[:, 1], pts[:, 0], shape=(h, w))
     img[rr, cc] = (118, 185, 0)
 
@@ -352,14 +348,10 @@ def save_eval_figure(output: Dict, labels: Dict, batch: Dict, n_present: int,
     ax.imshow(make_contour(showing))
     ax.axis('off')
 
-    from stp3_tpu.ops.geometry import gen_dx_bx
+    from stp3_tpu.ops.geometry import ego_footprint_grid_pts, gen_dx_bx
     dx, bx, _ = gen_dx_bx(cfg.LIFT.X_BOUND, cfg.LIFT.Y_BOUND, cfg.LIFT.Z_BOUND)
     dx, bx = np.asarray(dx)[:2], np.asarray(bx)[:2]
-    W_, H_ = cfg.EGO.WIDTH, cfg.EGO.HEIGHT
-    pts = np.array([[-H_ / 2.0 + 0.5, W_ / 2.0], [H_ / 2.0 + 0.5, W_ / 2.0],
-                    [H_ / 2.0 + 0.5, -W_ / 2.0], [-H_ / 2.0 + 0.5, -W_ / 2.0]])
-    pts = (pts - bx) / dx
-    pts[:, [0, 1]] = pts[:, [1, 0]]
+    pts = ego_footprint_grid_pts(cfg.EGO.WIDTH, cfg.EGO.HEIGHT, bx, dx)
     ax.fill(pts[:, 0], pts[:, 1], '#76b900')
     ax.set_xlim(w, 0)
     ax.set_ylim(0, h)

@@ -178,6 +178,31 @@ def test_gather_rows_pallas_interpret():
                           dtype=np.float32)[ranks], atol=1e-6)
 
 
+def test_v2_backward_env_hatch_matches_default(monkeypatch):
+    """STP3_SPLAT_BWD=pallas routes the v2 VJP through the row-gather
+    kernel; gradients must equal the default XLA-gather backward."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stp3_tpu.ops.pallas.bev_pool_kernel import bev_pool_pallas_v2
+    rng = np.random.RandomState(23)
+    p, c, ncells = 600, 8, 64
+    feats = jnp.asarray(rng.randn(p, c).astype(np.float32))
+    ranks = jnp.asarray(np.concatenate([
+        rng.randint(0, ncells, size=(p - 20,)),
+        np.full((20,), ncells)]).astype(np.int32))  # 20 invalid points
+    g = rng.randn(ncells, c).astype(np.float32)
+
+    def loss(x):
+        return jnp.sum(bev_pool_pallas_v2(x, ranks, ncells) * g)
+
+    with pltpu.force_tpu_interpret_mode():
+        grad_default = np.asarray(jax.grad(loss)(feats))
+        monkeypatch.setenv('STP3_SPLAT_BWD', 'pallas')
+        grad_pallas = np.asarray(jax.grad(loss)(feats))
+    np.testing.assert_allclose(grad_pallas, grad_default, atol=1e-6)
+    # invalid points get zero gradient
+    np.testing.assert_array_equal(grad_pallas[-20:], 0.0)
+
+
 @pytest.mark.parametrize('method', ['pallas2', 'pallas2b'])
 def test_project_pallas2_matches_scatter_interpret(method):
     """Full project_to_birds_eye_view: pallas2 (per-frame launches) and

@@ -31,6 +31,25 @@ def test_latent_gru_cell_matches_conv_gru_cell():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_latent_gru_cell_mixed_precision_promotes_like_nn_conv():
+    """fp32 params + bf16 activations: _LatentGRUCell must promote to fp32
+    (nn.Conv's dtype=None semantics) so both DualGRU branches stay in the
+    same precision — no silent bf16 downcast of the hoisted convs."""
+    rng = np.random.RandomState(3)
+    cx, h = 5, 8
+    x = jnp.asarray(rng.randn(1, 4, 4, cx)).astype(jnp.bfloat16)
+    s = jnp.asarray(rng.randn(1, 4, 4, h)).astype(jnp.bfloat16)
+    ref = ConvGRUCell(hidden_size=h)
+    rv = ref.init(jax.random.PRNGKey(1), x, s)   # fp32 params
+    fast = _LatentGRUCell(hidden_size=h, x_channels=cx)
+    maps = fast.apply(rv, x, method=_LatentGRUCell.x_maps)
+    out_ref = ref.apply(rv, x, s)
+    out_fast = fast.apply(rv, maps, s)
+    assert out_ref.dtype == out_fast.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_conv_gru_cell_param_tree_unchanged():
     """ConvGRUCell keeps {gates,candidate}/{kernel,bias} with the concat
     kernel shapes existing checkpoints / the torch importer use."""
