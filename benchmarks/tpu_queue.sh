@@ -38,6 +38,10 @@ run train_hlo python benchmarks/train_hlo_traffic.py
 #    (the old host-chain numbers were dispatch-bound at this scale)
 run future_bd python benchmarks/future_breakdown.py
 
+# 7b. fused pallas SpatialGRU rollout: standalone A/B + e2e
+run sgru python benchmarks/spatial_gru_bench.py
+run bench_sgru env STP3_SPATIAL_GRU=pallas python bench.py
+
 # 8. full-forward stage split + HBM audit refresh
 run fwd_bd python benchmarks/forward_breakdown.py
 run hlo python benchmarks/hlo_traffic.py

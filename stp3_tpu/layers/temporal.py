@@ -12,6 +12,7 @@ directly on (B, T, H, W, C) with left-only temporal padding for causality.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -120,6 +121,20 @@ class _LatentGRUCell(nn.Module):
         return (1.0 - update) * state + update * tilde
 
 
+class _ConvGRUCellParams(nn.Module):
+    """Parameter-only mirror of ConvGRUCell: declares the same
+    {gates, candidate}/{kernel, bias} tree (same shapes and inits as the
+    nn.Convs) without computing anything, so the fused pallas rollout can
+    read the weights while staying checkpoint-interchangeable with the
+    XLA cell."""
+    hidden_size: int
+    cin: int
+
+    def setup(self):
+        self.gates = _RawConv(2 * self.hidden_size, self.cin, name='gates')
+        self.candidate = _RawConv(self.hidden_size, self.cin, name='candidate')
+
+
 class SpatialGRU(nn.Module):
     """Scan a ConvGRU over (B, T, H, W, C); per-step 1x1 conv decoder
     (reference temporal.py:11-57)."""
@@ -132,9 +147,24 @@ class SpatialGRU(nn.Module):
         b, t, h, w, _ = x.shape
         if state is None:
             state = jnp.zeros((b, h, w, self.hidden_size), x.dtype)
-        cell = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell')
         decoder = nn.Conv(self.input_size, (1, 1), use_bias=False, name='decoder')
 
+        # Opt-in fused rollout: the WHOLE T-step recurrence in one pallas
+        # launch with the hidden state VMEM-resident (forward-only — the
+        # training path keeps the XLA cell). Read at trace time; queued
+        # for an on-chip A/B (benchmarks/spatial_gru_bench.py).
+        if os.environ.get('STP3_SPATIAL_GRU', '') == 'pallas':
+            from stp3_tpu.ops.pallas.spatial_gru_kernel import conv_gru_rollout_pallas
+            cell = _ConvGRUCellParams(self.hidden_size,
+                                      x.shape[-1] + self.hidden_size,
+                                      name='cell')
+            states = conv_gru_rollout_pallas(
+                x, state, cell.gates.kernel, cell.gates.bias,
+                cell.candidate.kernel, cell.candidate.bias,
+                self.gru_bias_init)
+            return decoder(states)
+
+        cell = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell')
         # UNROLLED python loop, not nn.scan: T <= 9 here, and the scan's
         # per-step dynamic slice/stack costs more than it saves — measured
         # 17.0 -> 5.7 ms for one standalone 9-step pass at (200,200,64) on
