@@ -38,9 +38,12 @@ run train_hlo python benchmarks/train_hlo_traffic.py
 #    (the old host-chain numbers were dispatch-bound at this scale)
 run future_bd python benchmarks/future_breakdown.py
 
-# 7b. fused pallas SpatialGRU rollout: standalone A/B + e2e
+# 7b. fused pallas GRU rollouts: standalone A/Bs + e2e (single + combined)
 run sgru python benchmarks/spatial_gru_bench.py
+run dgru python benchmarks/dual_gru_bench.py
 run bench_sgru env STP3_SPATIAL_GRU=pallas python bench.py
+run bench_dgru env STP3_DUAL_GRU=pallas python bench.py
+run bench_bothgru env STP3_SPATIAL_GRU=pallas STP3_DUAL_GRU=pallas python bench.py
 
 # 8. full-forward stage split + HBM audit refresh
 run fwd_bd python benchmarks/forward_breakdown.py

@@ -52,18 +52,24 @@ class ConvGRUCell(nn.Module):
 
 
 class _RawConv(nn.Module):
-    """3x3 SAME conv with directly-declared {kernel, bias} params (same
+    """SAME conv with directly-declared {kernel, bias} params (same
     shapes/init as nn.Conv) that can be applied to an input-channel SLICE
     of the kernel. Lets a caller hoist the contribution of a
-    loop-invariant input out of a serial rollout while keeping the
-    nn.Conv param tree (checkpoints / torch importer unaffected)."""
+    loop-invariant input out of a serial rollout — or mirror an nn.Conv's
+    param tree without computing (fused pallas rollouts) — while keeping
+    checkpoints / the torch importer unaffected."""
     features: int
     cin: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    use_bias: bool = True
 
     def setup(self):
+        kh, kw = self.kernel_size
         self.kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                                 (3, 3, self.cin, self.features))
-        self.bias = self.param('bias', nn.initializers.zeros, (self.features,))
+                                 (kh, kw, self.cin, self.features))
+        if self.use_bias:
+            self.bias = self.param('bias', nn.initializers.zeros,
+                                   (self.features,))
 
     def slice_apply(self, x, lo: int, hi: Optional[int], with_bias: bool):
         # promote like nn.Conv (dtype=None -> common dtype of input and
@@ -135,6 +141,36 @@ class _ConvGRUCellParams(nn.Module):
         self.candidate = _RawConv(self.hidden_size, self.cin, name='candidate')
 
 
+class _LNParams(nn.Module):
+    """Parameter-only mirror of nn.LayerNorm (scale + bias)."""
+    features: int
+
+    def setup(self):
+        self.scale = self.param('scale', nn.initializers.ones, (self.features,))
+        self.bias = self.param('bias', nn.initializers.zeros, (self.features,))
+
+
+class _BottleblockParams(nn.Module):
+    """Parameter-only mirror of convolutions.Bottleblock for in != out
+    channels (the trusting-gate case): submodule names match the compact
+    Bottleblock's call-order auto-names (Conv_0 7x7, LN_0, Conv_1 1x1,
+    LN_1, Conv_2 3x3, LN_2, Conv_3 = 1x1 skip)."""
+    in_ch: int
+    out_ch: int
+
+    def setup(self):
+        bneck = self.in_ch // 2
+        self.Conv_0 = _RawConv(bneck, self.in_ch, (7, 7), use_bias=False)
+        self.LayerNorm_0 = _LNParams(bneck)
+        self.Conv_1 = _RawConv(bneck, bneck, (1, 1), use_bias=False)
+        self.LayerNorm_1 = _LNParams(bneck)
+        self.Conv_2 = _RawConv(self.out_ch, bneck, (3, 3), use_bias=False)
+        self.LayerNorm_2 = _LNParams(self.out_ch)
+        self.Conv_3 = _RawConv(self.out_ch, self.in_ch, (1, 1), use_bias=False)
+
+
+
+
 class SpatialGRU(nn.Module):
     """Scan a ConvGRU over (B, T, H, W, C); per-step 1x1 conv decoder
     (reference temporal.py:11-57)."""
@@ -201,6 +237,60 @@ class DualGRU(nn.Module):
         # conv contributions out of the serial rollout (_LatentGRUCell)
         cell1 = _LatentGRUCell(self.hidden_size, self.input_size,
                                self.gru_bias_init, name='cell1')
+
+        # Opt-in fused rollout: warm-up + all n_future steps (2 GRU cells,
+        # decoder conv, 7x7 trust gate, mixing) in two pallas launches
+        # with the carried state VMEM-resident. Forward-only; requires
+        # mixture=True (flagship), else falls through to the XLA cells.
+        if os.environ.get('STP3_DUAL_GRU', '') == 'pallas' and self.mixture:
+            from stp3_tpu.ops.pallas.dual_gru_kernel import dual_gru_rollout_pallas
+            from stp3_tpu.ops.pallas.spatial_gru_kernel import conv_gru_rollout_pallas
+            h2 = self.hidden_size
+            cell2p = _ConvGRUCellParams(h2, 2 * h2, name='cell2')
+            dec2p = _RawConv(h2, h2, name='decoder2')
+            # the default path's nn.Sequential children are auto-named in
+            # the PARENT scope (Bottleblock_0, Conv_0) — mirror those names
+            bb = _BottleblockParams(2 * h2, h2, name='Bottleblock_0')
+            headp = _RawConv(2, h2, (1, 1), use_bias=False, name='Conv_0')
+            if n_present > 1:
+                warm = conv_gru_rollout_pallas(
+                    state[:, :n_present - 1], state[:, 0],
+                    cell2p.gates.kernel, cell2p.gates.bias,
+                    cell2p.candidate.kernel, cell2p.candidate.bias,
+                    self.gru_bias_init)
+                h0 = warm[:, -1]
+            else:
+                h0 = state[:, 0]
+            gx, cxm = cell1.x_maps(x[:, 0])
+            params = {
+                'cell1': {'gates': {'kernel': cell1.gates.kernel,
+                                    'bias': cell1.gates.bias},
+                          'candidate': {'kernel': cell1.candidate.kernel,
+                                        'bias': cell1.candidate.bias}},
+                'cell2': {'gates': {'kernel': cell2p.gates.kernel,
+                                    'bias': cell2p.gates.bias},
+                          'candidate': {'kernel': cell2p.candidate.kernel,
+                                        'bias': cell2p.candidate.bias}},
+                'decoder2': {'kernel': dec2p.kernel, 'bias': dec2p.bias},
+                'trusting_gate': {
+                    'layers_0': {
+                        'Conv_0': {'kernel': bb.Conv_0.kernel},
+                        'LayerNorm_0': {'scale': bb.LayerNorm_0.scale,
+                                        'bias': bb.LayerNorm_0.bias},
+                        'Conv_1': {'kernel': bb.Conv_1.kernel},
+                        'LayerNorm_1': {'scale': bb.LayerNorm_1.scale,
+                                        'bias': bb.LayerNorm_1.bias},
+                        'Conv_2': {'kernel': bb.Conv_2.kernel},
+                        'LayerNorm_2': {'scale': bb.LayerNorm_2.scale,
+                                        'bias': bb.LayerNorm_2.bias},
+                        'Conv_3': {'kernel': bb.Conv_3.kernel},
+                    },
+                    'layers_1': {'kernel': headp.kernel},
+                },
+            }
+            return dual_gru_rollout_pallas(gx, cxm, state[:, -1], h0,
+                                           self.n_future, params,
+                                           self.gru_bias_init)
         cell2 = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell2')
         decoder2 = nn.Conv(self.hidden_size, (3, 3), padding='SAME', name='decoder2')
         trust = nn.Sequential([Bottleblock(self.hidden_size),
