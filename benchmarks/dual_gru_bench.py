@@ -10,7 +10,6 @@ Run: python benchmarks/dual_gru_bench.py
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,37 +20,19 @@ import numpy as np
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-from static_splat_bench import _chain_overhead_ms  # noqa: E402
+from static_splat_bench import chain_time  # noqa: E402
 from stp3_tpu.layers.temporal import DualGRU  # noqa: E402
 from stp3_tpu.utils.precision import cast_floating  # noqa: E402
 
 B, H, W, CH, LATENT = 1, 200, 200, 64, 32
 N_PRESENT, N_FUTURE = 3, 6
 DT = jnp.bfloat16
-ITERS = 20
 
 
 def bench(label, variables, x, state):
     mod = DualGRU(input_size=LATENT, hidden_size=CH, n_future=N_FUTURE)
-
-    @jax.jit
-    def chained(variables, x, state):
-        def body(_, c):
-            out = mod.apply(variables, x + c.astype(x.dtype) * 1e-12, state)
-            return out.ravel()[0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
-
-    overhead = _chain_overhead_ms()
-    t0 = time.perf_counter()
-    float(chained(variables, x, state))
-    print(f'{label}: compiled in {time.perf_counter() - t0:.1f}s', flush=True)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chained(variables, x, state))
-        times.append(((time.perf_counter() - t0) * 1000.0 - overhead) / ITERS)
-    print(f'{label}: {max(float(np.median(times)), 0.0):.2f} ms/rollout',
-          flush=True)
+    ms = chain_time(mod.apply, (variables, x, state), perturb_idx=1, iters=20)
+    print(f'{label}: {ms:.2f} ms/rollout', flush=True)
     return jax.jit(mod.apply)(variables, x, state)
 
 

@@ -12,7 +12,6 @@ Run: python benchmarks/spatial_gru_bench.py          # both variants
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,36 +22,18 @@ import numpy as np
 jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
-from static_splat_bench import _chain_overhead_ms  # noqa: E402
+from static_splat_bench import chain_time  # noqa: E402
 from stp3_tpu.layers.temporal import SpatialGRU  # noqa: E402
 from stp3_tpu.utils.precision import cast_floating  # noqa: E402
 
 B, T, H, W, C = 1, 9, 200, 200, 64
 DT = jnp.bfloat16
-ITERS = 30
 
 
 def bench(label, variables, x, h0):
     mod = SpatialGRU(input_size=C, hidden_size=C)
-
-    @jax.jit
-    def chained(variables, x, h0):
-        def body(_, c):
-            out = mod.apply(variables, x + c.astype(x.dtype) * 1e-12, h0)
-            return out.ravel()[0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
-
-    overhead = _chain_overhead_ms()
-    t0 = time.perf_counter()
-    float(chained(variables, x, h0))   # compile + settle
-    print(f'{label}: compiled in {time.perf_counter() - t0:.1f}s', flush=True)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chained(variables, x, h0))
-        times.append(((time.perf_counter() - t0) * 1000.0 - overhead) / ITERS)
-    print(f'{label}: {max(float(np.median(times)), 0.0):.2f} ms/pass',
-          flush=True)
+    ms = chain_time(mod.apply, (variables, x, h0), perturb_idx=1, iters=30)
+    print(f'{label}: {ms:.2f} ms/pass', flush=True)
     return jax.jit(mod.apply)(variables, x, h0)
 
 

@@ -44,6 +44,7 @@ run dgru python benchmarks/dual_gru_bench.py
 run bench_sgru env STP3_SPATIAL_GRU=pallas python bench.py
 run bench_dgru env STP3_DUAL_GRU=pallas python bench.py
 run bench_bothgru env STP3_SPATIAL_GRU=pallas STP3_DUAL_GRU=pallas python bench.py
+run serve_bothgru env STP3_SPATIAL_GRU=pallas STP3_DUAL_GRU=pallas python benchmarks/serving_bench.py
 
 # 8. full-forward stage split + HBM audit refresh
 run fwd_bd python benchmarks/forward_breakdown.py

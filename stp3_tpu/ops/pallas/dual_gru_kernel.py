@@ -14,8 +14,13 @@ a (W+6) row stride so the 7x7 conv's taps are contiguous slices too
 (3 zero pad columns per side; 4 leading pad rows so every tap offset is
 non-negative; junk-to-junk offset algebra as before).
 
-Semantics fused (must match layers.temporal exactly, mixture=True — the
-flagship config; the wrapper asserts it):
+Semantics fused (must match layers.temporal exactly). CONTRACT: valid
+ONLY for mixture=True (the flagship config) — the mixing step makes
+s1 == s2 at every step entry, so ONE resident state carries both
+pathways. mixture=False keeps distinct s1/s2 and would silently compute
+the wrong rollout here; the only caller (the DualGRU STP3_DUAL_GRU
+hatch, layers/temporal.py) routes to this kernel exclusively when
+self.mixture is True and falls through to the XLA cells otherwise:
   s1' = _LatentGRUCell(x_maps, s)         # gx/cxm hoisted, computed in XLA
   hh' = ConvGRUCell(s, hh)                # note input is s (== s2 == s1)
   s2' = conv3x3(hh') + bd
@@ -37,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from stp3_tpu.ops.pallas.spatial_gru_kernel import _col_mask
+
 
 def _ln_gelu(v, scale, bias, dt, exact: bool):
     """flax nn.LayerNorm(eps=1e-6) + convolutions.gelu on fp32 stats."""
@@ -51,7 +58,7 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
                     kd_ref, k7_ref, k1x1_ref, k3t_ref, kskip_ref, kdiff_ref,
                     bg2u_ref, bg2r_ref, bc2_ref, bd_ref,
                     ln0s_ref, ln0b_ref, ln1s_ref, ln1b_ref, ln2s_ref,
-                    ln2b_ref, mask_ref, out_ref,
+                    ln2b_ref, out_ref,
                     s_ref, hh_ref, pa_ref, pb_ref, pc_ref, acca_ref,
                     accb_ref, sem,
                     *, hh_rows: int, ww: int, ch: int, exact_gelu: bool):
@@ -90,7 +97,8 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
                                         w_ref[ky * k + kx],
                                         preferred_element_type=jnp.float32)
 
-    mask = mask_ref[...]
+    # register-resident junk-column mask (see spatial_gru_kernel._col_mask)
+    mask = _col_mask(m, ch, s, 3, ww + 3)
     interior = pl.ds(4 * s, m)
 
     # ---- cell 1 (latent GRU): state-half convs on padded s ------------
@@ -103,7 +111,8 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
     taps(pc_ref, k1c_ref, 3, accb_ref)          # accb = til1 conv (r1 dead)
     u1 = jax.nn.sigmoid(acca_ref[...] + gxu_ref[...].astype(jnp.float32))
     til1 = cxm_ref[...].astype(jnp.float32) + accb_ref[...]
-    s1 = ((1.0 - u1) * s_ref[...].astype(jnp.float32) + u1 * til1) * mask
+    s1 = jnp.where(mask, (1.0 - u1) * s_ref[...].astype(jnp.float32)
+                   + u1 * til1, 0.0)
 
     # ---- cell 2: [s, hh] -> hh' ---------------------------------------
     pa_ref[interior, 0:ch] = s_ref[...]
@@ -116,14 +125,15 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
     taps(pa_ref, k2c_ref, 3, accb_ref)          # accb = til2 conv
     u2 = jax.nn.sigmoid(acca_ref[...] + bg2u_ref[0])
     hh_new = ((1.0 - u2) * hh_ref[...].astype(jnp.float32)
-              + u2 * (accb_ref[...] + bc2_ref[0])) * mask
-    hh_ref[...] = hh_new.astype(dt)
+              + u2 * (accb_ref[...] + bc2_ref[0]))
+    hh_ref[...] = jnp.where(mask, hh_new, 0.0).astype(dt)
 
     # ---- decoder2 + the trust-gate mix --------------------------------
     pc_ref[interior] = hh_ref[...]
     taps(pc_ref, kd_ref, 3, acca_ref)           # acca = s2' - bd (LIVE to end)
     pb_ref[interior, 0:ch] = s1.astype(dt)      # s1 is masked above
-    pb_ref[interior, ch:] = ((acca_ref[...] + bd_ref[0]) * mask).astype(dt)
+    pb_ref[interior, ch:] = jnp.where(
+        mask, acca_ref[...] + bd_ref[0], 0.0).astype(dt)
 
     # ---- trusting gate: Bottleblock + 1x1 head as a sigmoid of the
     # 2-way logit difference (softmax([a,b])[1] == sigmoid(b - a)) -------
@@ -132,7 +142,7 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
     t1 = _ln_gelu(jnp.dot(t0.astype(dt), k1x1_ref[...],
                           preferred_element_type=jnp.float32),
                   ln1s_ref[0], ln1b_ref[0], dt, exact_gelu)
-    pc_ref[interior] = (t1 * mask).astype(dt)
+    pc_ref[interior] = jnp.where(mask, t1, 0.0).astype(dt)
     taps(pc_ref, k3t_ref, 3, accb_ref)          # accb = 3x3 conv (t0 dead)
     t2 = _ln_gelu(accb_ref[...], ln2s_ref[0], ln2b_ref[0], dt, exact_gelu)
     skip = jax.nn.gelu(
@@ -146,7 +156,7 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
     # ---- mix, carry, emit ---------------------------------------------
     s2 = pb_ref[interior, ch:].astype(jnp.float32)
     s1m = pb_ref[interior, 0:ch].astype(jnp.float32)
-    cur = (s2 * (1.0 - g1) + s1m * g1) * mask
+    cur = jnp.where(mask, s2 * (1.0 - g1) + s1m * g1, 0.0)
     s_ref[...] = cur.astype(dt)
     out_ref[0] = s_ref[...]
 
@@ -219,9 +229,6 @@ def dual_gru_rollout_pallas(gx, cxm, s0, hh0, n_future: int, params,
     cxmf = _pad_flat(cxm.astype(dt), 3)
     s0f = _pad_flat(s0.astype(dt), 3)
     hh0f = _pad_flat(hh0.astype(dt), 3)
-    col = jnp.arange(s)
-    mask = ((col >= 3) & (col < ww + 3)).astype(jnp.float32)
-    mask = jnp.tile(mask, hh_rows).reshape(m, 1)
 
     kern = functools.partial(_rollout_kernel, hh_rows=hh_rows, ww=ww, ch=ch,
                              exact_gelu=bool(exact_gelu))
@@ -243,7 +250,6 @@ def dual_gru_rollout_pallas(gx, cxm, s0, hh0, n_future: int, params,
             const2((1, ch)), const2((1, ch)), const2((1, ch)), const2((1, ch)),
             const2((1, ch)), const2((1, ch)), const2((1, ch)), const2((1, ch)),
             const2((1, ch)), const2((1, ch)),
-            const2((m, 1)),                                      # mask
         ],
         out_specs=vspec((1, m, ch), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_future, m, ch), dt),
@@ -267,6 +273,6 @@ def dual_gru_rollout_pallas(gx, cxm, s0, hh0, n_future: int, params,
         o = call(gxu[bi], gxr[bi], cxmf[bi], s0f[bi], hh0f[bi],
                  k1u, k1r, k1c, k2u, k2r, k2c, kd, k7, k1x1, k3t, kskip,
                  kdiff, bg2u, bg2r, bc2, bd, ln0s, ln0b, ln1s, ln1b,
-                 ln2s, ln2b, mask)
+                 ln2s, ln2b)
         outs.append(o.reshape(n_future, hh_rows, s, ch)[:, :, 3:ww + 3])
     return jnp.stack(outs, axis=0)

@@ -46,8 +46,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _col_mask(m: int, ch: int, s: int, lo: int, hi: int):
+    """(m, ch) bool: True on real columns (flat index mod s in [lo, hi)),
+    False on the junk pad slots. Built from a broadcasted iota so it costs
+    registers, not VMEM (a (m, 1) input block would be lane-padded to 128
+    and waste ~21 MB at flagship shape)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, ch), 0) % s
+    return (col >= lo) & (col < hi)
+
+
 def _rollout_kernel(x_ref, h0_ref, wu_ref, wr_ref, wc_ref, bu_ref, br_ref,
-                    bc_ref, mask_ref, out_ref, h_ref, p1_ref, gu_ref, gr_ref,
+                    bc_ref, out_ref, h_ref, p1_ref, gu_ref, gr_ref,
                     *, hh: int, ww: int, cx: int, ch: int):
     """One grid step = one GRU time step (TPU grids run sequentially, so
     h_ref/p1_ref scratch persists across steps — same property the splat
@@ -58,7 +67,6 @@ def _rollout_kernel(x_ref, h0_ref, wu_ref, wr_ref, wc_ref, bu_ref, br_ref,
       h0_ref  (M, ch)      initial state (read at t == 0 only)
       w*_ref  (9, cx+ch, ch) conv taps, k = ky*3 + kx (update/reset/cand)
       b*_ref  (1, ch)      fp32 biases (bu/br include gru_bias_init)
-      mask_ref(M, 1)       fp32 1.0 on real columns, 0.0 on the junk slots
       out_ref (1, M, ch)   this step's new state (pipeline writes to HBM)
       h_ref   (M, ch)      persistent state scratch
       p1_ref  ((hh+6)*S, cx+ch)  padded conv input (3 pad rows + slack)
@@ -105,7 +113,8 @@ def _rollout_kernel(x_ref, h0_ref, wu_ref, wr_ref, wc_ref, bu_ref, br_ref,
     update = jax.nn.sigmoid(gu_ref[...] + bu_ref[0])
     tilde = gr_ref[...] + bc_ref[0]
     h_old = h_ref[...].astype(jnp.float32)
-    h_new = ((1.0 - update) * h_old + update * tilde) * mask_ref[...]
+    h_new = (1.0 - update) * h_old + update * tilde
+    h_new = jnp.where(_col_mask(m, ch, s, 1, ww + 1), h_new, 0.0)
     h_ref[...] = h_new.astype(h_ref.dtype)
     out_ref[0] = h_ref[...]
 
@@ -149,9 +158,6 @@ def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
     xp = xp.reshape(b, t, m, cx)
     hp = jnp.pad(h0, ((0, 0), (0, 0), (1, 1), (0, 0))).reshape(b, m, ch)
-    col = jnp.arange(s) % s
-    mask = ((col != 0) & (col != s - 1)).astype(jnp.float32)
-    mask = jnp.tile(mask, hh).reshape(m, 1)
 
     kern = functools.partial(_rollout_kernel, hh=hh, ww=ww, cx=cx, ch=ch)
     call = pl.pallas_call(
@@ -170,7 +176,6 @@ def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
             pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, m, ch), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -188,6 +193,6 @@ def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
 
     outs = []
     for bi in range(b):
-        o = call(xp[bi], hp[bi], wu, wr, wc9, bu, br, bc1, mask)
+        o = call(xp[bi], hp[bi], wu, wr, wc9, bu, br, bc1)
         outs.append(o.reshape(t, hh, s, ch)[:, :, 1:ww + 1])
     return jnp.stack(outs, axis=0)
