@@ -141,6 +141,28 @@ class _ConvGRUCellParams(nn.Module):
         self.candidate = _RawConv(self.hidden_size, self.cin, name='candidate')
 
 
+# Auto-default for the fused pallas GRU rollouts: flip to True once the
+# queued on-chip A/B (benchmarks/tpu_queue.sh sgru/dgru/bench_*gru)
+# confirms they win end-to-end. Env hatches always override.
+_FUSED_GRU_AUTO = False
+
+
+def _fused_rollout(env_key: str, allow: bool) -> bool:
+    """Trace-time choice of the fused pallas rollout. An env force wins
+    ('pallas' -> on, 'off'/'xla' -> off); otherwise auto: only when the
+    caller allows it (inference paths — the kernels are forward-only),
+    the auto default is flipped on, and we're on a single TPU device
+    (pallas neither runs on CPU nor partitions under GSPMD — the same
+    rule as ops.bev_pool method='auto')."""
+    env = os.environ.get(env_key, '')
+    if env == 'pallas':
+        return True
+    if env in ('off', 'xla'):
+        return False
+    return (allow and _FUSED_GRU_AUTO and jax.default_backend() == 'tpu'
+            and jax.device_count() == 1)
+
+
 class _LNParams(nn.Module):
     """Parameter-only mirror of nn.LayerNorm (scale + bias)."""
     features: int
@@ -177,6 +199,7 @@ class SpatialGRU(nn.Module):
     input_size: int
     hidden_size: int
     gru_bias_init: float = 0.0
+    allow_fused: bool = False   # caller grants the (forward-only) fused path
 
     @nn.compact
     def __call__(self, x, state: Optional[jnp.ndarray] = None):
@@ -185,11 +208,11 @@ class SpatialGRU(nn.Module):
             state = jnp.zeros((b, h, w, self.hidden_size), x.dtype)
         decoder = nn.Conv(self.input_size, (1, 1), use_bias=False, name='decoder')
 
-        # Opt-in fused rollout: the WHOLE T-step recurrence in one pallas
-        # launch with the hidden state VMEM-resident (forward-only — the
-        # training path keeps the XLA cell). Read at trace time; queued
-        # for an on-chip A/B (benchmarks/spatial_gru_bench.py).
-        if os.environ.get('STP3_SPATIAL_GRU', '') == 'pallas':
+        # Fused rollout: the WHOLE T-step recurrence in one pallas launch
+        # with the hidden state VMEM-resident (forward-only — training
+        # keeps the XLA cell). Decided at trace time; on-chip A/B queued
+        # (benchmarks/spatial_gru_bench.py).
+        if _fused_rollout('STP3_SPATIAL_GRU', self.allow_fused):
             from stp3_tpu.ops.pallas.spatial_gru_kernel import conv_gru_rollout_pallas
             cell = _ConvGRUCellParams(self.hidden_size,
                                       x.shape[-1] + self.hidden_size,
@@ -227,6 +250,7 @@ class DualGRU(nn.Module):
     n_future: int
     mixture: bool = True
     gru_bias_init: float = 0.0
+    allow_fused: bool = False   # caller grants the (forward-only) fused path
 
     @nn.compact
     def __call__(self, x, state):
@@ -238,11 +262,11 @@ class DualGRU(nn.Module):
         cell1 = _LatentGRUCell(self.hidden_size, self.input_size,
                                self.gru_bias_init, name='cell1')
 
-        # Opt-in fused rollout: warm-up + all n_future steps (2 GRU cells,
+        # Fused rollout: warm-up + all n_future steps (2 GRU cells,
         # decoder conv, 7x7 trust gate, mixing) in two pallas launches
         # with the carried state VMEM-resident. Forward-only; requires
         # mixture=True (flagship), else falls through to the XLA cells.
-        if os.environ.get('STP3_DUAL_GRU', '') == 'pallas' and self.mixture:
+        if self.mixture and _fused_rollout('STP3_DUAL_GRU', self.allow_fused):
             from stp3_tpu.ops.pallas.dual_gru_kernel import dual_gru_rollout_pallas
             from stp3_tpu.ops.pallas.spatial_gru_kernel import conv_gru_rollout_pallas
             h2 = self.hidden_size

@@ -103,6 +103,30 @@ def test_rollout_bf16_smoke():
     np.testing.assert_allclose(got, np.asarray(want), rtol=0.1, atol=0.1)
 
 
+def test_fused_rollout_gating(monkeypatch):
+    """Auto mode must NOT pick pallas off-TPU (CPU tests, sharded runs);
+    env forces always win in both directions."""
+    from stp3_tpu.layers import temporal as T
+    monkeypatch.delenv('STP3_SPATIAL_GRU', raising=False)
+    # auto flipped on, but backend here is CPU -> XLA path
+    monkeypatch.setattr(T, '_FUSED_GRU_AUTO', True)
+    assert not T._fused_rollout('STP3_SPATIAL_GRU', allow=True)
+    # env force-on wins even when the caller does not allow it
+    monkeypatch.setenv('STP3_SPATIAL_GRU', 'pallas')
+    assert T._fused_rollout('STP3_SPATIAL_GRU', allow=False)
+    # env force-off wins over auto
+    monkeypatch.setenv('STP3_SPATIAL_GRU', 'off')
+    assert not T._fused_rollout('STP3_SPATIAL_GRU', allow=True)
+    # a model with allow_fused=True still runs the XLA cell on CPU auto
+    monkeypatch.delenv('STP3_SPATIAL_GRU', raising=False)
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 2, 6, 6, 4).astype(np.float32))
+    mod = SpatialGRU(input_size=4, hidden_size=4, allow_fused=True)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(variables, x)   # would raise if pallas were chosen
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
 def test_spatial_gru_env_hatch_matches_default(monkeypatch):
     """STP3_SPATIAL_GRU=pallas must leave SpatialGRU's outputs AND param
     tree unchanged (checkpoint interchangeability)."""
