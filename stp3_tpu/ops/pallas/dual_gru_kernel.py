@@ -62,7 +62,8 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
                     s_ref, hh_ref, pa_ref, pb_ref, pc_ref, acca_ref,
                     accb_ref, sem,
                     *, hh_rows: int, ww: int, ch: int, exact_gelu: bool):
-    """One grid step = one future step. S = ww+6; M = hh_rows*S; data rows
+    """Grid (B, T): minor dim walks one sample's future steps (state
+    re-initialized when t wraps to 0). S = ww+6; M = hh_rows*S; data rows
     sit at p rows 4..hh_rows+3, data cols at slots 3..ww+2. Tap offset for
     a KxK conv: (ky - K//2 + 4)*S + (kx - K//2). Buffer roles:
       pa (M-pad, 2ch)  cell2 [s, hh] input, then the trust-gate mix
@@ -72,18 +73,22 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
     """
     s = ww + 6
     m = hh_rows * s
-    t = pl.program_id(0)
+    bi = pl.program_id(0)
+    t = pl.program_id(1)
     dt = s_ref.dtype
 
-    @pl.when(t == 0)
+    @pl.when((bi == 0) & (t == 0))
     def _():
         pa_ref[...] = jnp.zeros_like(pa_ref)
         pb_ref[...] = jnp.zeros_like(pb_ref)
         pc_ref[...] = jnp.zeros_like(pc_ref)
-        cp = pltpu.make_async_copy(s0_ref, s_ref, sem)
+
+    @pl.when(t == 0)
+    def _():
+        cp = pltpu.make_async_copy(s0_ref.at[bi], s_ref, sem)
         cp.start()
         cp.wait()
-        cp2 = pltpu.make_async_copy(hh0_ref, hh_ref, sem)
+        cp2 = pltpu.make_async_copy(hh0_ref.at[bi], hh_ref, sem)
         cp2.start()
         cp2.wait()
 
@@ -105,12 +110,12 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
     pc_ref[interior] = s_ref[...]
     taps(pc_ref, k1u_ref, 3, acca_ref)          # acca = u1 conv
     taps(pc_ref, k1r_ref, 3, accb_ref)          # accb = r1 conv
-    r1 = jax.nn.sigmoid(accb_ref[...] + gxr_ref[...].astype(jnp.float32))
+    r1 = jax.nn.sigmoid(accb_ref[...] + gxr_ref[0].astype(jnp.float32))
     pc_ref[interior] = (pc_ref[interior].astype(jnp.float32)
                         * (1.0 - r1)).astype(dt)
     taps(pc_ref, k1c_ref, 3, accb_ref)          # accb = til1 conv (r1 dead)
-    u1 = jax.nn.sigmoid(acca_ref[...] + gxu_ref[...].astype(jnp.float32))
-    til1 = cxm_ref[...].astype(jnp.float32) + accb_ref[...]
+    u1 = jax.nn.sigmoid(acca_ref[...] + gxu_ref[0].astype(jnp.float32))
+    til1 = cxm_ref[0].astype(jnp.float32) + accb_ref[...]
     s1 = jnp.where(mask, (1.0 - u1) * s_ref[...].astype(jnp.float32)
                    + u1 * til1, 0.0)
 
@@ -158,7 +163,7 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
     s1m = pb_ref[interior, 0:ch].astype(jnp.float32)
     cur = jnp.where(mask, s2 * (1.0 - g1) + s1m * g1, 0.0)
     s_ref[...] = cur.astype(dt)
-    out_ref[0] = s_ref[...]
+    out_ref[0, 0] = s_ref[...]
 
 
 def _pad_flat(x, pad):
@@ -173,7 +178,7 @@ def _pad_flat(x, pad):
 def dual_gru_rollout_pallas(gx, cxm, s0, hh0, n_future: int, params,
                             gru_bias_init: float = 0.0,
                             exact_gelu=None) -> jnp.ndarray:
-    """Fused DualGRU rollout (one launch per batch sample; forward-only).
+    """Fused DualGRU rollout (ONE launch, grid = (B, n_future); forward-only).
 
     gx  (B, H, W, 2Ch)  hoisted cell-1 gates x-map (bias included)
     cxm (B, H, W, Ch)   hoisted cell-1 candidate x-map (bias included)
@@ -233,13 +238,15 @@ def dual_gru_rollout_pallas(gx, cxm, s0, hh0, n_future: int, params,
     kern = functools.partial(_rollout_kernel, hh_rows=hh_rows, ww=ww, ch=ch,
                              exact_gelu=bool(exact_gelu))
     vspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    const2 = lambda shp: vspec(shp, lambda i: (0, 0))          # noqa: E731
-    const3 = lambda shp: vspec(shp, lambda i: (0, 0, 0))       # noqa: E731
+    const2 = lambda shp: vspec(shp, lambda bi, ti: (0, 0))        # noqa: E731
+    const3 = lambda shp: vspec(shp, lambda bi, ti: (0, 0, 0))     # noqa: E731
+    per_b = lambda shp: vspec(                                    # noqa: E731
+        (1,) + shp, lambda bi, ti: (bi,) + (0,) * len(shp))
     call = pl.pallas_call(
         kern,
-        grid=(n_future,),
+        grid=(b, n_future),
         in_specs=[
-            const2((m, ch)), const2((m, ch)), const2((m, ch)),   # gxu gxr cxm
+            per_b((m, ch)), per_b((m, ch)), per_b((m, ch)),   # gxu gxr cxm
             pl.BlockSpec(memory_space=pl.ANY),               # s0 (DMA'd)
             pl.BlockSpec(memory_space=pl.ANY),               # hh0 (DMA'd)
             const3((9, ch, ch)), const3((9, ch, ch)), const3((9, ch, ch)),
@@ -251,8 +258,8 @@ def dual_gru_rollout_pallas(gx, cxm, s0, hh0, n_future: int, params,
             const2((1, ch)), const2((1, ch)), const2((1, ch)), const2((1, ch)),
             const2((1, ch)), const2((1, ch)),
         ],
-        out_specs=vspec((1, m, ch), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_future, m, ch), dt),
+        out_specs=vspec((1, 1, m, ch), lambda bi, ti: (bi, ti, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_future, m, ch), dt),
         scratch_shapes=[
             pltpu.VMEM((m, ch), dt),                  # s
             pltpu.VMEM((m, ch), dt),                  # hh
@@ -264,15 +271,12 @@ def dual_gru_rollout_pallas(gx, cxm, s0, hh0, n_future: int, params,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',),
+            dimension_semantics=('arbitrary', 'arbitrary'),
             vmem_limit_bytes=120 * 1024 * 1024),
     )
 
-    outs = []
-    for bi in range(b):
-        o = call(gxu[bi], gxr[bi], cxmf[bi], s0f[bi], hh0f[bi],
-                 k1u, k1r, k1c, k2u, k2r, k2c, kd, k7, k1x1, k3t, kskip,
-                 kdiff, bg2u, bg2r, bc2, bd, ln0s, ln0b, ln1s, ln1b,
-                 ln2s, ln2b)
-        outs.append(o.reshape(n_future, hh_rows, s, ch)[:, :, 3:ww + 3])
-    return jnp.stack(outs, axis=0)
+    out = call(gxu, gxr, cxmf, s0f, hh0f,
+               k1u, k1r, k1c, k2u, k2r, k2c, kd, k7, k1x1, k3t, kskip,
+               kdiff, bg2u, bg2r, bc2, bd, ln0s, ln0b, ln1s, ln1b,
+               ln2s, ln2b)
+    return out.reshape(b, n_future, hh_rows, s, ch)[:, :, :, 3:ww + 3]

@@ -58,31 +58,36 @@ def _col_mask(m: int, ch: int, s: int, lo: int, hi: int):
 def _rollout_kernel(x_ref, h0_ref, wu_ref, wr_ref, wc_ref, bu_ref, br_ref,
                     bc_ref, out_ref, h_ref, p1_ref, gu_ref, gr_ref,
                     *, hh: int, ww: int, cx: int, ch: int):
-    """One grid step = one GRU time step (TPU grids run sequentially, so
-    h_ref/p1_ref scratch persists across steps — same property the splat
-    kernel's accumulator relies on).
+    """Grid (B, T): the minor dimension walks the GRU time steps of one
+    sample; TPU grids run sequentially, so h_ref/p1_ref scratch persists
+    across steps (same property the splat kernel's accumulator relies on)
+    and the state is re-initialized whenever t wraps to 0.
 
     Shapes (S = ww + 2, M = hh * S):
-      x_ref   (1, M, cx)   this step's input frame, flat padded rows
-      h0_ref  (M, ch)      initial state (read at t == 0 only)
+      x_ref   (1, 1, M, cx)  this sample+step's input frame (flat padded)
+      h0_ref  (1, M, ch)     this sample's initial state (read at t == 0)
       w*_ref  (9, cx+ch, ch) conv taps, k = ky*3 + kx (update/reset/cand)
-      b*_ref  (1, ch)      fp32 biases (bu/br include gru_bias_init)
-      out_ref (1, M, ch)   this step's new state (pipeline writes to HBM)
-      h_ref   (M, ch)      persistent state scratch
+      b*_ref  (1, ch)        fp32 biases (bu/br include gru_bias_init)
+      out_ref (1, 1, M, ch)  this step's new state (pipeline writes HBM)
+      h_ref   (M, ch)        persistent state scratch
       p1_ref  ((hh+6)*S, cx+ch)  padded conv input (3 pad rows + slack)
-      gu/gr_ref (M, ch) fp32    update / reset accumulators
+      gu/gr_ref (M, ch) fp32     update / reset accumulators
     """
     s = ww + 2
     m = hh * s
-    t = pl.program_id(0)
+    bi = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when((bi == 0) & (t == 0))
+    def _():
+        p1_ref[...] = jnp.zeros_like(p1_ref)   # pad rows/cols stay 0 forever
 
     @pl.when(t == 0)
     def _():
-        p1_ref[...] = jnp.zeros_like(p1_ref)   # pad rows/cols stay 0 forever
-        h_ref[...] = h0_ref[...]
+        h_ref[...] = h0_ref[0]
 
     # ---- build the conv input [x, h] (data rows sit at p1 rows 3..hh+2)
-    p1_ref[pl.ds(3 * s, m), 0:cx] = x_ref[0]
+    p1_ref[pl.ds(3 * s, m), 0:cx] = x_ref[0, 0]
     p1_ref[pl.ds(3 * s, m), cx:] = h_ref[...]
 
     def conv9(w_ref, acc_ref):
@@ -116,14 +121,14 @@ def _rollout_kernel(x_ref, h0_ref, wu_ref, wr_ref, wc_ref, bu_ref, br_ref,
     h_new = (1.0 - update) * h_old + update * tilde
     h_new = jnp.where(_col_mask(m, ch, s, 1, ww + 1), h_new, 0.0)
     h_ref[...] = h_new.astype(h_ref.dtype)
-    out_ref[0] = h_ref[...]
+    out_ref[0, 0] = h_ref[...]
 
 
 def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
                             wg: jnp.ndarray, bg: jnp.ndarray,
                             wc: jnp.ndarray, bc: jnp.ndarray,
                             gru_bias_init: float = 0.0) -> jnp.ndarray:
-    """Fused T-step ConvGRU rollout (one pallas launch per batch sample).
+    """Fused T-step ConvGRU rollout (ONE pallas launch; grid = (B, T)).
 
     x  (B, T, H, W, Cx)   per-step inputs
     h0 (B, H, W, Ch)      initial state
@@ -160,26 +165,28 @@ def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
     hp = jnp.pad(h0, ((0, 0), (0, 0), (1, 1), (0, 0))).reshape(b, m, ch)
 
     kern = functools.partial(_rollout_kernel, hh=hh, ww=ww, cx=cx, ch=ch)
-    call = pl.pallas_call(
+    vmem = pltpu.VMEM
+    out = pl.pallas_call(
         kern,
-        grid=(t,),
+        grid=(b, t),
         in_specs=[
-            pl.BlockSpec((1, m, cx), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, ch), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, ch), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, ch), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, cx), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, m, ch), lambda bi, ti: (bi, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((9, cin, ch), lambda bi, ti: (0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((9, cin, ch), lambda bi, ti: (0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((9, cin, ch), lambda bi, ti: (0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, ch), lambda bi, ti: (0, 0), memory_space=vmem),
+            pl.BlockSpec((1, ch), lambda bi, ti: (0, 0), memory_space=vmem),
+            pl.BlockSpec((1, ch), lambda bi, ti: (0, 0), memory_space=vmem),
         ],
-        out_specs=pl.BlockSpec((1, m, ch), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, m, ch), dt),
+        out_specs=pl.BlockSpec((1, 1, m, ch), lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((b, t, m, ch), dt),
         scratch_shapes=[
             pltpu.VMEM((m, ch), dt),                  # h
             pltpu.VMEM(((hh + 6) * s, cin), dt),      # p1 (3 pad rows + slack)
@@ -187,12 +194,7 @@ def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
             pltpu.VMEM((m, ch), jnp.float32),         # reset / candidate acc
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',),
+            dimension_semantics=('arbitrary', 'arbitrary'),
             vmem_limit_bytes=110 * 1024 * 1024),
-    )
-
-    outs = []
-    for bi in range(b):
-        o = call(xp[bi], hp[bi], wu, wr, wc9, bu, br, bc1)
-        outs.append(o.reshape(t, hh, s, ch)[:, :, 1:ww + 1])
-    return jnp.stack(outs, axis=0)
+    )(xp, hp, wu, wr, wc9, bu, br, bc1)
+    return out.reshape(b, t, hh, s, ch)[:, :, :, 1:ww + 1]

@@ -32,9 +32,11 @@ def _setup(latent=4, ch=8, n_present=3, n_future=3, h=10, w=8, b=1, seed=0):
     return mod, variables, x, state
 
 
-@pytest.mark.parametrize('n_present,n_future', [(3, 3), (1, 2), (2, 1)])
-def test_dual_gru_hatch_matches_default(monkeypatch, n_present, n_future):
-    mod, variables, x, state = _setup(n_present=n_present, n_future=n_future)
+@pytest.mark.parametrize('n_present,n_future,b', [
+    (3, 3, 1), (1, 2, 1), (2, 1, 1), (3, 2, 2)])
+def test_dual_gru_hatch_matches_default(monkeypatch, n_present, n_future, b):
+    mod, variables, x, state = _setup(n_present=n_present,
+                                      n_future=n_future, b=b)
     want = mod.apply(variables, x, state)
 
     monkeypatch.setenv('STP3_DUAL_GRU', 'pallas')
