@@ -37,6 +37,22 @@ def bench(label, variables, x, h0):
     return jax.jit(mod.apply)(variables, x, h0)
 
 
+def bench_grad(label, variables, x, h0):
+    """fwd+bwd (the hand-written reverse-rollout VJP vs XLA autodiff
+    through the unrolled cell)."""
+    mod = SpatialGRU(input_size=C, hidden_size=C)
+
+    def loss(variables, x, h0):
+        return jnp.sum(mod.apply(variables, x, h0).astype(jnp.float32))
+
+    def step(variables, x, h0):
+        _, grads = jax.value_and_grad(loss)(variables, x, h0)
+        return jax.tree_util.tree_leaves(grads)[0]
+
+    ms = chain_time(step, (variables, x, h0), perturb_idx=1, iters=15)
+    print(f'{label}: {ms:.2f} ms/fwd+bwd', flush=True)
+
+
 def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32))
@@ -56,6 +72,11 @@ def main():
     diff = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
     print(f'on-chip parity: max|diff| = {float(diff):.4f} '
           f'(bf16; interpret-mode parity is exact, tests/)', flush=True)
+
+    bench_grad('xla-unrolled-grad', variables, x, h0)
+    os.environ['STP3_SPATIAL_GRU'] = 'pallas'
+    bench_grad('pallas-fused-grad', variables, x, h0)
+    os.environ.pop('STP3_SPATIAL_GRU', None)
 
 
 if __name__ == '__main__':

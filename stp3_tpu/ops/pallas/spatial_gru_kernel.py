@@ -25,10 +25,16 @@ VMEM budget at flagship (T=9, 200x200, Cx=Ch=64, bf16): p1 10.7 MB +
 two fp32 gate/candidate accumulators 20.7 MB + state 5.2 MB + pipelined
 in/out blocks ~21 MB =~ 60 MB of the v5e's 128 MB VMEM.
 
-Forward-only: no custom_vjp (differentiating through it fails loudly).
-The training path keeps the XLA cell; this kernel is for the serving /
-full-recompute forward (opt-in via STP3_SPATIAL_GRU=pallas, read at
-trace time in layers/temporal.py).
+A hand-written VJP (the same reason the reference hand-writes
+``VoxelsSumming``'s backward) makes the rollout training-grade: the
+backward walks the grid in REVERSE time with the cotangent carry
+VMEM-resident, recomputes the gates of each step from the saved states
+(checkpoint-style — only the per-step states are residuals), lowers the
+transposed convs as flipped-tap matmuls in the same flat layout, and
+accumulates weight/bias grads into constant-index output blocks across
+the whole grid. Gradient parity vs XLA autodiff through ConvGRUCell is
+tested in interpret mode. The backward requires Cx == Ch (true at every
+model call site); forward-only uses have no such restriction.
 
 Cell math (must match layers.temporal.ConvGRUCell exactly):
     gates = conv3x3([x, h], Wg) + bg + gru_bias_init
@@ -124,11 +130,14 @@ def _rollout_kernel(x_ref, h0_ref, wu_ref, wr_ref, wc_ref, bu_ref, br_ref,
     out_ref[0, 0] = h_ref[...]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
                             wg: jnp.ndarray, bg: jnp.ndarray,
                             wc: jnp.ndarray, bc: jnp.ndarray,
                             gru_bias_init: float = 0.0) -> jnp.ndarray:
     """Fused T-step ConvGRU rollout (ONE pallas launch; grid = (B, T)).
+    Differentiable via the hand-written reverse-rollout kernel below
+    (requires Cx == Ch for the backward).
 
     x  (B, T, H, W, Cx)   per-step inputs
     h0 (B, H, W, Ch)      initial state
@@ -137,8 +146,6 @@ def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
     wc (3, 3, Cx+Ch, Ch)  candidate conv kernel
     bc (Ch,)              candidate bias
     Returns (B, T, H, W, Ch): the state after every step (pre-decoder).
-
-    Forward-only (no VJP registered) — see module docstring.
     """
     b, t, hh, ww, cx = x.shape
     ch = h0.shape[-1]
@@ -198,3 +205,261 @@ def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
             vmem_limit_bytes=110 * 1024 * 1024),
     )(xp, hp, wu, wr, wc9, bu, br, bc1)
     return out.reshape(b, t, hh, s, ch)[:, :, :, 1:ww + 1]
+
+
+# =====================================================================
+# Hand-written backward: reverse-time rollout, VMEM-resident carry
+# =====================================================================
+def _backward_kernel(x_ref, hprev_ref, dout_ref,
+                     wux_ref, wuh_ref, wrx_ref, wrh_ref, wcx_ref, wch_ref,
+                     tux_ref, tuh_ref, trx_ref, trh_ref, tcx_ref, tch_ref,
+                     bu_ref, br_ref, bc_ref,
+                     dx_ref, dh0_ref, dwux_ref, dwuh_ref, dwrx_ref,
+                     dwrh_ref, dwcx_ref, dwch_ref, dbu_ref, dbr_ref,
+                     dbc_ref,
+                     carry_ref, su_ref, sr_ref, px_ref, ph_ref, pq_ref,
+                     pg_ref, acc1_ref, acc2_ref,
+                     *, hh: int, ww: int, ch: int, t_total: int):
+    """Grid (B, T) walking time REVERSED (block index maps pick step
+    t_total-1-ti). Per step: recompute u, r, q, til from (x_t, h_{t-1})
+    exactly as the forward did, then backpropagate the GRU cell:
+
+        h' = (1-u)*h + u*til,  til = conv_c([x, q]) + bc,  q = (1-r)*h
+        u, r = sigmoid(conv_g([x, h]) + bg)
+
+        g       = dout_t + carry                (dL/dh_t)
+        du_pre  = (til - h) * g * u(1-u)
+        dtil    = u * g
+        carry   = (1-u) * g                      (dL/dh_{t-1}, grows below)
+        d[x,q]  = conv_c^T(dtil);  dq = [.., ch:];  carry += (1-r) * dq
+        dr_pre  = -h * dq * r(1-r)
+        d[x,h] += conv_g^T([du_pre, dr_pre]);    carry += h-half
+        dW_*   += input_tap^T @ d*_pre;  db_* += sum(d*_pre)
+
+    conv^T is the same tap walk with flipped-transposed weights (t*_ref).
+    x/h input halves live in separate padded buffers (px/ph, plus pq for
+    the candidate's scaled half) so the gates and candidate grads can use
+    different h-halves without refilling. pg holds the padded d*_pre being
+    convolved; its junk slots are exactly zero (every d*_pre is a product
+    with g or h, whose junk slots are zero), so the weight-grad
+    contractions are uncontaminated. The carry is re-masked each step.
+    """
+    s = ww + 2
+    m = hh * s
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    dt = px_ref.dtype
+    interior = pl.ds(3 * s, m)
+    mask = _col_mask(m, ch, s, 1, ww + 1)
+
+    @pl.when((bi == 0) & (ti == 0))
+    def _():
+        px_ref[...] = jnp.zeros_like(px_ref)
+        ph_ref[...] = jnp.zeros_like(ph_ref)
+        pq_ref[...] = jnp.zeros_like(pq_ref)
+        pg_ref[...] = jnp.zeros_like(pg_ref)
+        for r in (dwux_ref, dwuh_ref, dwrx_ref, dwrh_ref, dwcx_ref,
+                  dwch_ref, dbu_ref, dbr_ref, dbc_ref):
+            r[...] = jnp.zeros_like(r)
+
+    @pl.when(ti == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    def taps_sum(dst, pairs, zero=True, out_f32=True):
+        """dst[...] (+)= sum over taps/pairs of shifted-slice matmuls."""
+        first = zero
+        for src_ref, w_ref in pairs:
+            for k in range(9):
+                start = (k // 3 + 2) * s + k % 3 - 1
+                d = jnp.dot(src_ref[pl.ds(start, m)], w_ref[k],
+                            preferred_element_type=jnp.float32)
+                if not out_f32:
+                    d = d.astype(dt)
+                if first:
+                    dst[...] = d
+                    first = False
+                else:
+                    dst[...] += d
+
+    def dw_taps(dw_ref, src_ref, dy):
+        """dW[k] += shifted-input-slice^T @ dy (contract the M rows)."""
+        for k in range(9):
+            start = (k // 3 + 2) * s + k % 3 - 1
+            dw_ref[k] += jax.lax.dot_general(
+                src_ref[pl.ds(start, m)], dy, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    # ---- recompute the forward step's gates ---------------------------
+    px_ref[interior] = x_ref[0, 0]
+    ph_ref[interior] = hprev_ref[0, 0]
+    taps_sum(acc1_ref, [(px_ref, wux_ref), (ph_ref, wuh_ref)])
+    su_ref[...] = jax.nn.sigmoid(acc1_ref[...] + bu_ref[0]).astype(dt)
+    taps_sum(acc1_ref, [(px_ref, wrx_ref), (ph_ref, wrh_ref)])
+    sr_ref[...] = jax.nn.sigmoid(acc1_ref[...] + br_ref[0]).astype(dt)
+    hprev = hprev_ref[0, 0].astype(jnp.float32)
+    pq_ref[interior] = (hprev * (1.0 - sr_ref[...].astype(jnp.float32))
+                        ).astype(dt)
+    taps_sum(acc1_ref, [(px_ref, wcx_ref), (pq_ref, wch_ref)])  # til - bc
+
+    # ---- backward through the cell ------------------------------------
+    acc2_ref[...] = dout_ref[0, 0].astype(jnp.float32) + carry_ref[...]  # g
+    u = su_ref[...].astype(jnp.float32)
+    til = acc1_ref[...] + bc_ref[0]
+    carry_ref[...] = (1.0 - u) * acc2_ref[...]
+    pg_ref[interior] = ((til - hprev) * acc2_ref[...]
+                        * u * (1.0 - u)).astype(dt)            # du_pre
+    dw_taps(dwux_ref, px_ref, pg_ref[interior])
+    dw_taps(dwuh_ref, ph_ref, pg_ref[interior])
+    dbu_ref[...] += jnp.sum(pg_ref[interior].astype(jnp.float32),
+                            axis=0, keepdims=True)
+    taps_sum(dx_ref.at[0, 0], [(pg_ref, tux_ref)], out_f32=False)
+    taps_sum(acc1_ref, [(pg_ref, tuh_ref)])
+    carry_ref[...] += acc1_ref[...]
+
+    pg_ref[interior] = (u * acc2_ref[...]).astype(dt)          # dtil
+    dw_taps(dwcx_ref, px_ref, pg_ref[interior])
+    dw_taps(dwch_ref, pq_ref, pg_ref[interior])
+    dbc_ref[...] += jnp.sum(pg_ref[interior].astype(jnp.float32),
+                            axis=0, keepdims=True)
+    taps_sum(dx_ref.at[0, 0], [(pg_ref, tcx_ref)], zero=False,
+             out_f32=False)
+    taps_sum(acc1_ref, [(pg_ref, tch_ref)])                    # dq
+    r = sr_ref[...].astype(jnp.float32)
+    carry_ref[...] += (1.0 - r) * acc1_ref[...]
+
+    pg_ref[interior] = (-hprev * acc1_ref[...]
+                        * r * (1.0 - r)).astype(dt)            # dr_pre
+    dw_taps(dwrx_ref, px_ref, pg_ref[interior])
+    dw_taps(dwrh_ref, ph_ref, pg_ref[interior])
+    dbr_ref[...] += jnp.sum(pg_ref[interior].astype(jnp.float32),
+                            axis=0, keepdims=True)
+    taps_sum(dx_ref.at[0, 0], [(pg_ref, trx_ref)], zero=False,
+             out_f32=False)
+    taps_sum(acc2_ref, [(pg_ref, trh_ref)])
+    carry_ref[...] += acc2_ref[...]
+    carry_ref[...] = jnp.where(mask, carry_ref[...], 0.0)
+
+    @pl.when(ti == t_total - 1)
+    def _():
+        dh0_ref[0] = carry_ref[...].astype(dt)
+
+
+def _flip_t(w9):
+    """(9, a, b) forward taps -> (9, b, a) transposed-conv taps."""
+    return jnp.transpose(w9[::-1], (0, 2, 1))
+
+
+def _rollout_fwd(x, h0, wg, bg, wc, bc, gru_bias_init):
+    out = conv_gru_rollout_pallas(x, h0, wg, bg, wc, bc, gru_bias_init)
+    return out, (x, h0, wg, bg, wc, bc, out)
+
+
+def _rollout_bwd(gru_bias_init, res, dout):
+    x, h0, wg, bg, wc, bc, out = res
+    b, t, hh, ww, cx = x.shape
+    ch = h0.shape[-1]
+    assert cx == ch, (
+        'conv_gru_rollout_pallas backward requires Cx == Ch (true at all '
+        f'model call sites); got Cx={cx}, Ch={ch} — use the XLA cell path '
+        'for gradients at this shape')
+    s = ww + 2
+    m = hh * s
+    dt = jnp.promote_types(x.dtype, wg.dtype)
+
+    def flat(v):   # (..., H, W, C) -> (..., H*S, C), zero pad columns
+        widths = [(0, 0)] * (v.ndim - 2) + [(1, 1), (0, 0)]
+        vp = jnp.pad(v, widths)
+        return vp.reshape(v.shape[:-3] + (m, v.shape[-1]))
+
+    xp = flat(x.astype(dt))
+    hprev = jnp.concatenate([h0[:, None], out[:, :-1]], axis=1)
+    hprev_p = flat(hprev.astype(dt))
+    dout_p = flat(dout.astype(dt))
+
+    def split9(k):   # (3,3,cin,co) -> x-half and h-half tap stacks
+        k9 = k.reshape(9, cx + ch, k.shape[-1]).astype(dt)
+        return k9[:, :cx], k9[:, cx:]
+
+    wux, wuh = split9(wg[..., :ch])
+    wrx, wrh = split9(wg[..., ch:])
+    wcx9, wch9 = split9(wc)
+    bu = (bg[:ch].astype(jnp.float32) + gru_bias_init).reshape(1, ch)
+    br = (bg[ch:].astype(jnp.float32) + gru_bias_init).reshape(1, ch)
+    bc1 = bc.astype(jnp.float32).reshape(1, ch)
+
+    kern = functools.partial(_backward_kernel, hh=hh, ww=ww, ch=ch,
+                             t_total=t)
+    vmem = pltpu.VMEM
+    rev = lambda bi, ti: (bi, t - 1 - ti, 0, 0)          # noqa: E731
+    w9 = lambda: pl.BlockSpec((9, cx, ch), lambda bi, ti: (0, 0, 0),  # noqa: E731
+                              memory_space=vmem)
+    b1 = lambda: pl.BlockSpec((1, ch), lambda bi, ti: (0, 0),  # noqa: E731
+                              memory_space=vmem)
+    pads = (hh + 6) * s
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, t),
+        in_specs=[
+            pl.BlockSpec((1, 1, m, cx), rev, memory_space=vmem),   # x
+            pl.BlockSpec((1, 1, m, ch), rev, memory_space=vmem),   # hprev
+            pl.BlockSpec((1, 1, m, ch), rev, memory_space=vmem),   # dout
+            w9(), w9(), w9(), w9(), w9(), w9(),        # forward taps
+            w9(), w9(), w9(), w9(), w9(), w9(),        # transposed taps
+            b1(), b1(), b1(),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, m, cx), rev, memory_space=vmem),   # dx
+            pl.BlockSpec((1, m, ch), lambda bi, ti: (bi, 0, 0),
+                         memory_space=vmem),                       # dh0
+            w9(), w9(), w9(), w9(), w9(), w9(),        # dW halves (f32)
+            b1(), b1(), b1(),                          # db (f32)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, m, cx), dt),
+            jax.ShapeDtypeStruct((b, m, ch), dt),
+            jax.ShapeDtypeStruct((9, cx, ch), jnp.float32),
+            jax.ShapeDtypeStruct((9, ch, ch), jnp.float32),
+            jax.ShapeDtypeStruct((9, cx, ch), jnp.float32),
+            jax.ShapeDtypeStruct((9, ch, ch), jnp.float32),
+            jax.ShapeDtypeStruct((9, cx, ch), jnp.float32),
+            jax.ShapeDtypeStruct((9, ch, ch), jnp.float32),
+            jax.ShapeDtypeStruct((1, ch), jnp.float32),
+            jax.ShapeDtypeStruct((1, ch), jnp.float32),
+            jax.ShapeDtypeStruct((1, ch), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m, ch), jnp.float32),   # carry
+            pltpu.VMEM((m, ch), dt),            # u
+            pltpu.VMEM((m, ch), dt),            # r
+            pltpu.VMEM((pads, cx), dt),         # px
+            pltpu.VMEM((pads, ch), dt),         # ph
+            pltpu.VMEM((pads, ch), dt),         # pq
+            pltpu.VMEM((pads, ch), dt),         # pg (padded d*_pre)
+            pltpu.VMEM((m, ch), jnp.float32),   # acc1
+            pltpu.VMEM((m, ch), jnp.float32),   # acc2
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary'),
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(xp, hprev_p, dout_p, wux, wuh, wrx, wrh, wcx9, wch9,
+      _flip_t(wux), _flip_t(wuh), _flip_t(wrx), _flip_t(wrh),
+      _flip_t(wcx9), _flip_t(wch9), bu, br, bc1)
+
+    (dx_f, dh0_f, dwux, dwuh, dwrx, dwrh, dwcx, dwch, dbu, dbr,
+     dbc) = outs
+    dx = dx_f.reshape(b, t, hh, s, cx)[:, :, :, 1:ww + 1].astype(x.dtype)
+    dh0 = dh0_f.reshape(b, hh, s, ch)[:, :, 1:ww + 1].astype(h0.dtype)
+
+    def join(dwx, dwh, co):
+        return jnp.concatenate([dwx, dwh], axis=1).reshape(3, 3, cx + ch, co)
+
+    dwg = jnp.concatenate([join(dwux, dwuh, ch), join(dwrx, dwrh, ch)],
+                          axis=-1).astype(wg.dtype)
+    dwc = join(dwcx, dwch, ch).astype(wc.dtype)
+    dbg = jnp.concatenate([dbu[0], dbr[0]]).astype(bg.dtype)
+    return dx, dh0, dwg, dbg, dwc, dbc[0].astype(bc.dtype)
+
+
+conv_gru_rollout_pallas.defvjp(_rollout_fwd, _rollout_bwd)

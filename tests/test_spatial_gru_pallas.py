@@ -103,6 +103,46 @@ def test_rollout_bf16_smoke():
     np.testing.assert_allclose(got, np.asarray(want), rtol=0.1, atol=0.1)
 
 
+@pytest.mark.parametrize('b,t,h,w,ch', [(1, 3, 8, 6, 8), (2, 2, 6, 8, 4)])
+def test_rollout_backward_matches_autodiff(b, t, h, w, ch):
+    """The hand-written reverse-rollout VJP must match XLA autodiff
+    through the ConvGRUCell loop for every input: x, h0, both conv
+    kernels and biases (weight grads accumulate across all (b, t) grid
+    steps; the carry chains through every step)."""
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(b, t, h, w, ch).astype(np.float32))
+    h0 = jnp.asarray(rng.randn(b, h, w, ch).astype(np.float32))
+    variables = _init_cell(jax.random.PRNGKey(5), ch, ch)
+    p = variables['params']
+    p['gates']['bias'] = jnp.asarray(rng.randn(2 * ch).astype(np.float32)) * 0.1
+    p['candidate']['bias'] = jnp.asarray(rng.randn(ch).astype(np.float32)) * 0.1
+    cot = jnp.asarray(rng.randn(b, t, h, w, ch).astype(np.float32))
+
+    def loss_ref(x, h0, wg, bg, wc, bc):
+        cell = ConvGRUCell(hidden_size=ch, gru_bias_init=0.3)
+        v = {'params': {'gates': {'kernel': wg, 'bias': bg},
+                        'candidate': {'kernel': wc, 'bias': bc}}}
+        states, hh = [], h0
+        for i in range(t):
+            hh = cell.apply(v, x[:, i], hh)
+            states.append(hh)
+        return jnp.sum(jnp.stack(states, 1) * cot)
+
+    def loss_pallas(x, h0, wg, bg, wc, bc):
+        out = conv_gru_rollout_pallas(x, h0, wg, bg, wc, bc, 0.3)
+        return jnp.sum(out * cot)
+
+    args = (x, h0, p['gates']['kernel'], p['gates']['bias'],
+            p['candidate']['kernel'], p['candidate']['bias'])
+    want = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_pallas, argnums=tuple(range(6)))(*args)
+    names = ['dx', 'dh0', 'dwg', 'dbg', 'dwc', 'dbc']
+    for n, a, bb in zip(names, want, got):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)
+
+
 def test_fused_rollout_gating(monkeypatch):
     """Auto mode must NOT pick pallas off-TPU (CPU tests, sharded runs);
     env forces always win in both directions."""
