@@ -27,9 +27,11 @@ run tput8_p2b env STP3_SPLAT_METHOD=pallas2b python benchmarks/throughput_bench.
 # 4. splat microbench incl. pallas2b project path
 run bevpool python benchmarks/bev_pool_bench.py
 
-# 5. train step: default bwd vs pallas row-gather bwd (batch 2)
+# 5. train step: default bwd vs pallas row-gather bwd (batch 2);
+#    plus the fused SpatialGRU rollout with its hand-written VJP
 run train_base python benchmarks/train_bench.py 2
 run train_gbwd env STP3_SPLAT_BWD=pallas python benchmarks/train_bench.py 2
+run train_sgru env STP3_SPATIAL_GRU=pallas python benchmarks/train_bench.py 2
 
 # 6. train-step HBM-write audit
 run train_hlo python benchmarks/train_hlo_traffic.py

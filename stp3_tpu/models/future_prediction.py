@@ -26,11 +26,13 @@ class FuturePrediction(nn.Module):
     def __call__(self, sample, state, *, train: bool = False):
         """sample: (B, 1, H, W, latent); state: (B, n_present, H, W, C).
         Returns (B, n_present + n_future, H, W, C)."""
-        # inference may take the fused pallas rollouts (forward-only
-        # kernels; layers/temporal._fused_rollout decides at trace time)
-        fused_ok = not train
+        # the fused pallas rollouts (layers/temporal._fused_rollout decides
+        # at trace time): the ConvGRU rollout has a hand-written VJP so
+        # SpatialGRU may fuse on training traces too; the DualGRU kernel
+        # is forward-only, so it is granted on inference traces only
         x = DualGRU(self.latent_dim, self.in_channels, n_future=self.n_future,
-                    mixture=self.mixture, allow_fused=fused_ok)(sample, state)
+                    mixture=self.mixture,
+                    allow_fused=not train)(sample, state)
 
         b, nf, h, w, c = x.shape
         flat = x.reshape(b * nf, h, w, c)
@@ -43,7 +45,7 @@ class FuturePrediction(nn.Module):
         hidden_state = x[:, 0]
         for i in range(self.n_gru_blocks):
             x = SpatialGRU(self.in_channels, self.in_channels,
-                           allow_fused=fused_ok)(x, hidden_state)
+                           allow_fused=True)(x, hidden_state)
             b2, s2, h2, w2, c2 = x.shape
             flat = x.reshape(b2 * s2, h2, w2, c2)
             if i < self.n_gru_blocks - 1:
