@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from stp3_tpu.ops.pallas.spatial_gru_kernel import _col_mask
+from stp3_tpu.ops.pallas.spatial_gru_kernel import _col_mask, _pad_flat
 
 
 def _ln_gelu(v, scale, bias, dt, exact: bool):
@@ -164,15 +164,6 @@ def _rollout_kernel(gxu_ref, gxr_ref, cxm_ref, s0_ref, hh0_ref,
     cur = jnp.where(mask, s2 * (1.0 - g1) + s1m * g1, 0.0)
     s_ref[...] = cur.astype(dt)
     out_ref[0, 0] = s_ref[...]
-
-
-def _pad_flat(x, pad):
-    """(..., H, W, C) -> (..., H*(W+2*pad), C) with `pad` zero columns on
-    each side of every row."""
-    widths = [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)]
-    xp = jnp.pad(x, widths)
-    return xp.reshape(x.shape[:-3] + (x.shape[-3] * (x.shape[-2] + 2 * pad),
-                                      x.shape[-1]))
 
 
 def dual_gru_rollout_pallas(gx, cxm, s0, hh0, n_future: int, params,

@@ -52,6 +52,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pad_flat(x, pad: int):
+    """(..., H, W, C) -> (..., H*(W+2*pad), C): `pad` zero columns on each
+    side of every row, rows flattened with the padded stride. The shared
+    layout helper for both fused-rollout kernels (forward and backward)."""
+    widths = [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)]
+    xp = jnp.pad(x, widths)
+    return xp.reshape(x.shape[:-3] + (x.shape[-3] * (x.shape[-2] + 2 * pad),
+                                      x.shape[-1]))
+
+
 def _col_mask(m: int, ch: int, s: int, lo: int, hi: int):
     """(m, ch) bool: True on real columns (flat index mod s in [lo, hi)),
     False on the junk pad slots. Built from a broadcasted iota so it costs
@@ -167,9 +177,8 @@ def conv_gru_rollout_pallas(x: jnp.ndarray, h0: jnp.ndarray,
     bc1 = bc.astype(jnp.float32).reshape(1, ch)
 
     # flat padded layouts: one zero column on each side of every row
-    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-    xp = xp.reshape(b, t, m, cx)
-    hp = jnp.pad(h0, ((0, 0), (0, 0), (1, 1), (0, 0))).reshape(b, m, ch)
+    xp = _pad_flat(x, 1)
+    hp = _pad_flat(h0, 1)
 
     kern = functools.partial(_rollout_kernel, hh=hh, ww=ww, cx=cx, ch=ch)
     vmem = pltpu.VMEM
@@ -217,7 +226,7 @@ def _backward_kernel(x_ref, hprev_ref, dout_ref,
                      dx_ref, dh0_ref, dwux_ref, dwuh_ref, dwrx_ref,
                      dwrh_ref, dwcx_ref, dwch_ref, dbu_ref, dbr_ref,
                      dbc_ref,
-                     carry_ref, su_ref, sr_ref, px_ref, ph_ref, pq_ref,
+                     carry_ref, su_ref, sr_ref, px_ref, ph_ref,
                      pg_ref, acc1_ref, acc2_ref,
                      *, hh: int, ww: int, ch: int, t_total: int):
     """Grid (B, T) walking time REVERSED (block index maps pick step
@@ -237,12 +246,23 @@ def _backward_kernel(x_ref, hprev_ref, dout_ref,
         dW_*   += input_tap^T @ d*_pre;  db_* += sum(d*_pre)
 
     conv^T is the same tap walk with flipped-transposed weights (t*_ref).
-    x/h input halves live in separate padded buffers (px/ph, plus pq for
-    the candidate's scaled half) so the gates and candidate grads can use
-    different h-halves without refilling. pg holds the padded d*_pre being
-    convolved; its junk slots are exactly zero (every d*_pre is a product
-    with g or h, whose junk slots are zero), so the weight-grad
-    contractions are uncontaminated. The carry is re-masked each step.
+    x/h input halves live in separate padded buffers; ph alternates
+    between holding h and q = (1-r)*h (a ~5 MB VPU refill each switch —
+    cheaper than a fourth padded buffer against the VMEM budget). pg
+    holds the padded d*_pre being convolved; its junk slots are exactly
+    zero (every d*_pre is a product with g or h, whose junk slots are
+    zero), so the weight-grad contractions are uncontaminated. The carry
+    is re-masked each step, and dx accumulates in an fp32 output block
+    (27 sequential bf16 adds would carry visible rounding noise into
+    every upstream layer's gradient).
+
+    VMEM at flagship bf16 (T=9, 200x200, Cx=Ch=64): scratch ~57 MB
+    (carry/acc1/acc2 fp32 31, su/sr 10.4, px/ph/pg 15.9) + pipelined
+    blocks ~57 MB (x/hprev/dout bf16 31, dx fp32 20.5, dh0 5.2) =~ 114
+    of the 128 MB. fp32 inputs (PRECISION 32 configs) would roughly
+    double that and fail loudly at compile — keep the XLA cell there
+    (the trainer's bf16 policy casts params before apply, so training
+    traces are bf16).
     """
     s = ww + 2
     m = hh * s
@@ -256,7 +276,6 @@ def _backward_kernel(x_ref, hprev_ref, dout_ref,
     def _():
         px_ref[...] = jnp.zeros_like(px_ref)
         ph_ref[...] = jnp.zeros_like(ph_ref)
-        pq_ref[...] = jnp.zeros_like(pq_ref)
         pg_ref[...] = jnp.zeros_like(pg_ref)
         for r in (dwux_ref, dwuh_ref, dwrx_ref, dwrh_ref, dwcx_ref,
                   dwch_ref, dbu_ref, dbr_ref, dbc_ref):
@@ -266,16 +285,15 @@ def _backward_kernel(x_ref, hprev_ref, dout_ref,
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    def taps_sum(dst, pairs, zero=True, out_f32=True):
-        """dst[...] (+)= sum over taps/pairs of shifted-slice matmuls."""
+    def taps_sum(dst, pairs, zero=True):
+        """dst[...] (+)= sum over taps/pairs of shifted-slice matmuls
+        (fp32 accumulation into an fp32 ref)."""
         first = zero
         for src_ref, w_ref in pairs:
             for k in range(9):
                 start = (k // 3 + 2) * s + k % 3 - 1
                 d = jnp.dot(src_ref[pl.ds(start, m)], w_ref[k],
                             preferred_element_type=jnp.float32)
-                if not out_f32:
-                    d = d.astype(dt)
                 if first:
                     dst[...] = d
                     first = False
@@ -298,9 +316,9 @@ def _backward_kernel(x_ref, hprev_ref, dout_ref,
     taps_sum(acc1_ref, [(px_ref, wrx_ref), (ph_ref, wrh_ref)])
     sr_ref[...] = jax.nn.sigmoid(acc1_ref[...] + br_ref[0]).astype(dt)
     hprev = hprev_ref[0, 0].astype(jnp.float32)
-    pq_ref[interior] = (hprev * (1.0 - sr_ref[...].astype(jnp.float32))
-                        ).astype(dt)
-    taps_sum(acc1_ref, [(px_ref, wcx_ref), (pq_ref, wch_ref)])  # til - bc
+    ph_ref[interior] = (hprev * (1.0 - sr_ref[...].astype(jnp.float32))
+                        ).astype(dt)                           # ph <- q
+    taps_sum(acc1_ref, [(px_ref, wcx_ref), (ph_ref, wch_ref)])  # til - bc
 
     # ---- backward through the cell ------------------------------------
     acc2_ref[...] = dout_ref[0, 0].astype(jnp.float32) + carry_ref[...]  # g
@@ -309,33 +327,34 @@ def _backward_kernel(x_ref, hprev_ref, dout_ref,
     carry_ref[...] = (1.0 - u) * acc2_ref[...]
     pg_ref[interior] = ((til - hprev) * acc2_ref[...]
                         * u * (1.0 - u)).astype(dt)            # du_pre
+    ph_ref[interior] = hprev_ref[0, 0]                         # ph <- h
     dw_taps(dwux_ref, px_ref, pg_ref[interior])
     dw_taps(dwuh_ref, ph_ref, pg_ref[interior])
     dbu_ref[...] += jnp.sum(pg_ref[interior].astype(jnp.float32),
                             axis=0, keepdims=True)
-    taps_sum(dx_ref.at[0, 0], [(pg_ref, tux_ref)], out_f32=False)
+    taps_sum(dx_ref.at[0, 0], [(pg_ref, tux_ref)])
     taps_sum(acc1_ref, [(pg_ref, tuh_ref)])
     carry_ref[...] += acc1_ref[...]
 
     pg_ref[interior] = (u * acc2_ref[...]).astype(dt)          # dtil
+    r = sr_ref[...].astype(jnp.float32)
+    ph_ref[interior] = (hprev * (1.0 - r)).astype(dt)          # ph <- q
     dw_taps(dwcx_ref, px_ref, pg_ref[interior])
-    dw_taps(dwch_ref, pq_ref, pg_ref[interior])
+    dw_taps(dwch_ref, ph_ref, pg_ref[interior])
     dbc_ref[...] += jnp.sum(pg_ref[interior].astype(jnp.float32),
                             axis=0, keepdims=True)
-    taps_sum(dx_ref.at[0, 0], [(pg_ref, tcx_ref)], zero=False,
-             out_f32=False)
+    taps_sum(dx_ref.at[0, 0], [(pg_ref, tcx_ref)], zero=False)
     taps_sum(acc1_ref, [(pg_ref, tch_ref)])                    # dq
-    r = sr_ref[...].astype(jnp.float32)
     carry_ref[...] += (1.0 - r) * acc1_ref[...]
 
     pg_ref[interior] = (-hprev * acc1_ref[...]
                         * r * (1.0 - r)).astype(dt)            # dr_pre
+    ph_ref[interior] = hprev_ref[0, 0]                         # ph <- h
     dw_taps(dwrx_ref, px_ref, pg_ref[interior])
     dw_taps(dwrh_ref, ph_ref, pg_ref[interior])
     dbr_ref[...] += jnp.sum(pg_ref[interior].astype(jnp.float32),
                             axis=0, keepdims=True)
-    taps_sum(dx_ref.at[0, 0], [(pg_ref, trx_ref)], zero=False,
-             out_f32=False)
+    taps_sum(dx_ref.at[0, 0], [(pg_ref, trx_ref)], zero=False)
     taps_sum(acc2_ref, [(pg_ref, trh_ref)])
     carry_ref[...] += acc2_ref[...]
     carry_ref[...] = jnp.where(mask, carry_ref[...], 0.0)
@@ -367,15 +386,10 @@ def _rollout_bwd(gru_bias_init, res, dout):
     m = hh * s
     dt = jnp.promote_types(x.dtype, wg.dtype)
 
-    def flat(v):   # (..., H, W, C) -> (..., H*S, C), zero pad columns
-        widths = [(0, 0)] * (v.ndim - 2) + [(1, 1), (0, 0)]
-        vp = jnp.pad(v, widths)
-        return vp.reshape(v.shape[:-3] + (m, v.shape[-1]))
-
-    xp = flat(x.astype(dt))
+    xp = _pad_flat(x.astype(dt), 1)
     hprev = jnp.concatenate([h0[:, None], out[:, :-1]], axis=1)
-    hprev_p = flat(hprev.astype(dt))
-    dout_p = flat(dout.astype(dt))
+    hprev_p = _pad_flat(hprev.astype(dt), 1)
+    dout_p = _pad_flat(dout.astype(dt), 1)
 
     def split9(k):   # (3,3,cin,co) -> x-half and h-half tap stacks
         k9 = k.reshape(9, cx + ch, k.shape[-1]).astype(dt)
@@ -417,7 +431,7 @@ def _rollout_bwd(gru_bias_init, res, dout):
             b1(), b1(), b1(),                          # db (f32)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t, m, cx), dt),
+            jax.ShapeDtypeStruct((b, t, m, cx), jnp.float32),
             jax.ShapeDtypeStruct((b, m, ch), dt),
             jax.ShapeDtypeStruct((9, cx, ch), jnp.float32),
             jax.ShapeDtypeStruct((9, ch, ch), jnp.float32),
@@ -434,15 +448,14 @@ def _rollout_bwd(gru_bias_init, res, dout):
             pltpu.VMEM((m, ch), dt),            # u
             pltpu.VMEM((m, ch), dt),            # r
             pltpu.VMEM((pads, cx), dt),         # px
-            pltpu.VMEM((pads, ch), dt),         # ph
-            pltpu.VMEM((pads, ch), dt),         # pq
+            pltpu.VMEM((pads, ch), dt),         # ph (h / q alternating)
             pltpu.VMEM((pads, ch), dt),         # pg (padded d*_pre)
             pltpu.VMEM((m, ch), jnp.float32),   # acc1
             pltpu.VMEM((m, ch), jnp.float32),   # acc2
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary'),
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
     )(xp, hprev_p, dout_p, wux, wuh, wrx, wrh, wcx9, wch9,
       _flip_t(wux), _flip_t(wuh), _flip_t(wrx), _flip_t(wrh),
       _flip_t(wcx9), _flip_t(wch9), bu, br, bc1)
