@@ -141,26 +141,32 @@ class _ConvGRUCellParams(nn.Module):
         self.candidate = _RawConv(self.hidden_size, self.cin, name='candidate')
 
 
-# Auto-default for the fused pallas GRU rollouts: flip to True once the
-# queued on-chip A/B (benchmarks/tpu_queue.sh sgru/dgru/bench_*gru)
-# confirms they win end-to-end. Env hatches always override.
-_FUSED_GRU_AUTO = False
+# Per-kernel auto-defaults for the fused pallas GRU rollouts: flip to
+# True once the queued on-chip A/B (benchmarks/tpu_queue.sh
+# sgru/dgru/train_sgru/bench_*gru) confirms that kernel wins end-to-end.
+# Env hatches always override.
+_FUSED_GRU_AUTO = {
+    'STP3_SPATIAL_GRU': False,
+    'STP3_DUAL_GRU': False,
+}
 
 
 def _fused_rollout(env_key: str, allow: bool) -> bool:
     """Trace-time choice of the fused pallas rollout. An env force wins
     ('pallas' -> on, 'off'/'xla' -> off); otherwise auto: only when the
-    caller allows it (inference paths — the kernels are forward-only),
-    the auto default is flipped on, and we're on a single TPU device
-    (pallas neither runs on CPU nor partitions under GSPMD — the same
-    rule as ops.bev_pool method='auto')."""
+    caller allows it (the DualGRU kernel is forward-only, so
+    FuturePrediction grants it on inference traces only; the SpatialGRU
+    rollout has a VJP and is allowed everywhere), that kernel's auto
+    default is flipped on, and we're on a single TPU device (pallas
+    neither runs on CPU nor partitions under GSPMD — the same rule as
+    ops.bev_pool method='auto')."""
     env = os.environ.get(env_key, '')
     if env == 'pallas':
         return True
     if env in ('off', 'xla'):
         return False
-    return (allow and _FUSED_GRU_AUTO and jax.default_backend() == 'tpu'
-            and jax.device_count() == 1)
+    return (allow and _FUSED_GRU_AUTO[env_key]
+            and jax.default_backend() == 'tpu' and jax.device_count() == 1)
 
 
 class _LNParams(nn.Module):

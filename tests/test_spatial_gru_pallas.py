@@ -149,7 +149,8 @@ def test_fused_rollout_gating(monkeypatch):
     from stp3_tpu.layers import temporal as T
     monkeypatch.delenv('STP3_SPATIAL_GRU', raising=False)
     # auto flipped on, but backend here is CPU -> XLA path
-    monkeypatch.setattr(T, '_FUSED_GRU_AUTO', True)
+    monkeypatch.setattr(T, '_FUSED_GRU_AUTO',
+                        {'STP3_SPATIAL_GRU': True, 'STP3_DUAL_GRU': True})
     assert not T._fused_rollout('STP3_SPATIAL_GRU', allow=True)
     # env force-on wins even when the caller does not allow it
     monkeypatch.setenv('STP3_SPATIAL_GRU', 'pallas')
