@@ -2,6 +2,20 @@
 # Round-2 TPU A/B queue — run once the tunneled chip is back up.
 # Each step logs to /tmp/tpu_queue/<name>.log; safe to re-run (compiles
 # are persistently cached). Review the logs before changing any default.
+#
+# DECISION PROCEDURE once the logs exist (vs bench_base, noise ~±0.5 ms):
+#   bench_sgru wins  -> flip _FUSED_GRU_AUTO['STP3_SPATIAL_GRU']
+#                       (stp3_tpu/layers/temporal.py)
+#   bench_dgru wins  -> flip _FUSED_GRU_AUTO['STP3_DUAL_GRU']
+#   bench_p2b wins   -> ops/bev_pool.py method='auto' picks 'pallas2b'
+#                       on a single TPU (today: 'pallas2')
+#   train_gbwd wins  -> auto-route _bwd_v2 (ops/pallas/bev_pool_kernel.py)
+#                       through gather_rows_pallas on single-TPU
+#   then: rerun bench.py 3x (median), fast test suite, refresh the
+#   numbers in CLAUDE.md / README.md / benchmarks/README.md, commit.
+# If a pallas GRU kernel FAILS to compile on the chip (Mosaic), the
+# likely culprit is the unaligned-sublane tap slices; record the error
+# verbatim in benchmarks/README.md before attempting fixes.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_queue
