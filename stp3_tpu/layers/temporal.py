@@ -142,9 +142,18 @@ class _ConvGRUCellParams(nn.Module):
 
 
 # Per-kernel auto-defaults for the fused pallas GRU rollouts: flip to
-# True once the queued on-chip A/B (benchmarks/tpu_queue.sh
-# sgru/dgru/train_sgru/bench_*gru) confirms that kernel wins end-to-end.
-# Env hatches always override.
+# True only if an on-chip e2e A/B (benchmarks/tpu_queue*.sh bench_*gru)
+# confirms that kernel wins. Env hatches always override.
+# Round-2 chip verdicts:
+#   STP3_SPATIAL_GRU: PERMANENT COMPILE FAIL at flagship scale — the
+#     Mosaic compile VMEM-OOMs ("Ran out of memory in memory space vmem.
+#     Used 143.65M of 128.00M"): the double-buffered per-timestep
+#     (1,1,40400,64) input/output windows (~20M each) + the
+#     VMEM-resident (40400,128) gate scratch rows cannot coexist with
+#     the carried state at 200x200x64. Stays False; fitting it needs a
+#     row-tiled rollout (halo-exchanged 3x3 conv) — not worth it for the
+#     ~7 ms the two SpatialGRU passes cost e2e.
+#   STP3_DUAL_GRU: see bench_dgru log / CLAUDE.md.
 _FUSED_GRU_AUTO = {
     'STP3_SPATIAL_GRU': False,
     'STP3_DUAL_GRU': False,

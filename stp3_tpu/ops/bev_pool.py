@@ -258,13 +258,17 @@ def project_to_birds_eye_view(feats: jnp.ndarray, geometry: jnp.ndarray,
         # single-TPU: the v2 pallas kernel (branch-free serial RMW over a
         # VMEM-resident fp32 accumulator, bf16 inputs staged in-kernel)
         # beats XLA's index-bound scatter 3.8 vs 6.6 ms per 484k-point
-        # frame. Everywhere else fall back to XLA's scatter: pallas_call
-        # neither runs on CPU (tests, multichip dryrun) nor partitions
-        # under GSPMD (sharded multi-chip training). The round-1 v1 kernel
-        # that LOST end-to-end (133 vs 114 ms) staged feats to fp32 in HBM
-        # and branched per point; v2 fixes both.
+        # frame, and the frame-BATCHED launch (grid over B*S frames, one
+        # pipelined pallas_call) beats per-frame launches on-chip:
+        # e2e 83.2 vs 84.2 ms at batch 1, batch-8 throughput 18.1 vs
+        # 17.6 frames/s (A/B'd round 2, /tmp/tpu_queue logs). Everywhere
+        # else fall back to XLA's scatter: pallas_call neither runs on
+        # CPU (tests, multichip dryrun) nor partitions under GSPMD
+        # (sharded multi-chip training). The round-1 v1 kernel that LOST
+        # end-to-end (133 vs 114 ms) staged feats to fp32 in HBM and
+        # branched per point; v2 fixes both.
         if jax.default_backend() == 'tpu' and jax.device_count() == 1:
-            method = 'pallas2'
+            method = 'pallas2b'
         else:
             method = 'scatter'
     return _project_impl(feats, geometry, future_egomotion,
