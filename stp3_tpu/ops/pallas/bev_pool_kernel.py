@@ -264,9 +264,17 @@ def _fwd_v2b(feats, ranks, ncells):
 
 
 def _bwd_v2b(ncells, ranks, g):
+    """Batched VJP: d feats[f, p] = g[f, rank[f, p]] (overflow row -> 0).
+    Honors the same STP3_SPLAT_BWD=pallas hatch as the per-frame _bwd_v2
+    (per-frame row-gather kernel launches) so the train-step A/B compares
+    real configs whichever forward variant is the auto default."""
     g_ext = jnp.concatenate([g, jnp.zeros_like(g[:, :1])], axis=1)
-    dfeats = jnp.take_along_axis(
-        g_ext, jnp.clip(ranks, 0, ncells)[..., None], axis=1)
+    idx = jnp.clip(ranks, 0, ncells)
+    if os.environ.get('STP3_SPLAT_BWD', '') == 'pallas':
+        dfeats = jnp.stack([gather_rows_pallas(g_ext[f], idx[f])
+                            for f in range(g.shape[0])])
+        return dfeats, None
+    dfeats = jnp.take_along_axis(g_ext, idx[..., None], axis=1)
     return dfeats, None
 
 
