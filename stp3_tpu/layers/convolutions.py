@@ -381,21 +381,47 @@ class DeepLabHead(nn.Module):
 
 class ConvNeXtBlock(nn.Module):
     """ConvNeXt block: dwconv7 -> LN -> pw 4x -> GELU -> pw -> gamma + skip
-    (reference convolutions.py:310-346). Channels-last native — no permutes."""
+    (reference convolutions.py:310-346). Channels-last native — no permutes.
+
+    On a single-device TPU the LN->pw->GELU->pw->gamma+skip tail runs as
+    one fused pallas kernel (ops/pallas/convnext_mlp_kernel.py): XLA
+    materialises the (N, 4C) expanded tensor + LN/GELU intermediates in
+    HBM (~4 ms per block over 9 flagship frames, bandwidth-bound); the
+    kernel streams row tiles through VMEM. The dwconv stays XLA (0.2 ms,
+    measured round 2). Param tree is identical on both paths."""
     layer_scale_init_value: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
+        from stp3_tpu.ops.pallas.convnext_mlp_kernel import (
+            convnext_mlp_pallas, use_fused_convnext)
+
         dim = x.shape[-1]
         h = nn.Conv(dim, (7, 7), padding='SAME', feature_group_count=dim)(x)
-        h = nn.LayerNorm(epsilon=1e-6)(h)
-        h = nn.Dense(4 * dim)(h)
+        ln = nn.LayerNorm(epsilon=1e-6)
+        d1 = nn.Dense(4 * dim)
+        d2 = nn.Dense(dim)
+        assert self.layer_scale_init_value > 0, 'gamma is part of the param contract'
+        gamma = self.param('gamma', nn.initializers.constant(
+            self.layer_scale_init_value), (dim,))
+
+        if use_fused_convnext() and not self.is_initializing():
+            # read the (already-initialized) submodule params directly; the
+            # flax modules above exist so both paths share one param tree
+            p = self.variables['params']
+            lead = h.shape[:-1]
+            out = convnext_mlp_pallas(
+                h.reshape(-1, dim), x.reshape(-1, dim),
+                p['LayerNorm_0']['scale'], p['LayerNorm_0']['bias'],
+                p['Dense_0']['kernel'], p['Dense_0']['bias'],
+                p['Dense_1']['kernel'], p['Dense_1']['bias'], gamma)
+            return out.reshape(*lead, dim)
+
+        h = ln(h)
+        h = d1(h)
         h = gelu(h)
-        h = nn.Dense(dim)(h)
-        if self.layer_scale_init_value > 0:
-            gamma = self.param('gamma', nn.initializers.constant(self.layer_scale_init_value), (dim,))
-            h = gamma * h
-        return x + h
+        h = d2(h)
+        return x + gamma * h
 
 
 class Bottleblock(nn.Module):

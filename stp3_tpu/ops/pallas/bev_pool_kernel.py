@@ -177,14 +177,26 @@ def _fwd_v2(feats, ranks, ncells):
     return _forward_v2(feats, ranks, ncells), ranks
 
 
+def _use_pallas_bwd() -> bool:
+    """Trace-time choice of the splat backward. Round-3 on-chip A/B: the
+    row-gather kernel WINS the train step (498.0 vs 524.5 ms @ batch 2,
+    /tmp/tpu_queue4 train_gbwd vs round-2 train_base) — XLA's gather is
+    index-bound just like its scatter. Auto ON on a single-device TPU
+    (where the pallas forward runs anyway); STP3_SPLAT_BWD=xla/off forces
+    the XLA gather, =pallas forces the kernel (e.g. interpret-mode tests)."""
+    env = os.environ.get('STP3_SPLAT_BWD', '')
+    if env == 'pallas':
+        return True
+    if env in ('off', 'xla'):
+        return False
+    return jax.default_backend() == 'tpu' and jax.device_count() == 1
+
+
 def _bwd_v2(ncells, ranks, g):
-    """d feats[p] = g[rank[p]] (overflow row -> 0). Default: XLA gather.
-    STP3_SPLAT_BWD=pallas (read at trace time; benchmark escape hatch)
-    routes through the row-gather kernel below instead — queued for an
-    on-chip A/B against XLA's index-bound gather in the train step."""
+    """d feats[p] = g[rank[p]] (overflow row -> 0)."""
     table = jnp.concatenate([g, jnp.zeros_like(g[:1])], axis=0)
     idx = jnp.clip(ranks, 0, ncells)
-    if os.environ.get('STP3_SPLAT_BWD', '') == 'pallas':
+    if _use_pallas_bwd():
         return gather_rows_pallas(table, idx), None
     return table[idx], None
 
@@ -265,12 +277,11 @@ def _fwd_v2b(feats, ranks, ncells):
 
 def _bwd_v2b(ncells, ranks, g):
     """Batched VJP: d feats[f, p] = g[f, rank[f, p]] (overflow row -> 0).
-    Honors the same STP3_SPLAT_BWD=pallas hatch as the per-frame _bwd_v2
-    (per-frame row-gather kernel launches) so the train-step A/B compares
-    real configs whichever forward variant is the auto default."""
+    Same backward choice as the per-frame _bwd_v2 (per-frame row-gather
+    kernel launches when the pallas backward is selected)."""
     g_ext = jnp.concatenate([g, jnp.zeros_like(g[:, :1])], axis=1)
     idx = jnp.clip(ranks, 0, ncells)
-    if os.environ.get('STP3_SPLAT_BWD', '') == 'pallas':
+    if _use_pallas_bwd():
         dfeats = jnp.stack([gather_rows_pallas(g_ext[f], idx[f])
                             for f in range(g.shape[0])])
         return dfeats, None
