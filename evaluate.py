@@ -53,6 +53,7 @@ def evaluate(checkpoint_path: str, dataroot: str = '', extra_opts=None,
 
     restored = ckpt_lib.load_checkpoint(checkpoint_path)
     params = restored['params']
+    batch_stats = restored.get('batch_stats')  # MODEL.NORM='bn' runs
     print(f'Loaded weights from {checkpoint_path}')
 
     rf = cfg.TIME_RECEPTIVE_FIELD
@@ -77,7 +78,7 @@ def evaluate(checkpoint_path: str, dataroot: str = '', extra_opts=None,
         os.makedirs(save_path, exist_ok=True)
 
     for index, batch in enumerate(valloader):
-        output, labels = trainer._val_forward(params, batch)
+        output, labels = trainer._val_forward(params, batch, batch_stats)
         seg_pred = np.asarray(output['segmentation']).argmax(-1)
         metric_vehicle.update(seg_pred[:, rf - 1:],
                               np.asarray(labels['segmentation'])[:, rf - 1:])

@@ -86,16 +86,28 @@ class _GroupNormFast(nn.Module):
 # surrounding ops; the hand-rolled version only disturbed that fusion.
 def set_default_norm(kind: str) -> None:
     """Process-wide default normalisation for all layers built afterwards
-    ('gn' | 'ln' | 'bn_frozen' | 'none'); wired from cfg.MODEL.NORM by
+    ('gn' | 'ln' | 'bn' | 'bn_frozen' | 'none'); wired from cfg.MODEL.NORM by
     STP3Config.from_cfg. Construction-time only — do not change between
     building models with different norms in one process."""
     global _DEFAULT_NORM
-    assert kind in ('gn', 'ln', 'bn_frozen', 'none'), kind
+    assert kind in ('gn', 'ln', 'bn', 'bn_frozen', 'none'), kind
     _DEFAULT_NORM = kind
 
 
 def default_norm() -> str:
     return _DEFAULT_NORM
+
+
+_BN_MOMENTUM = 0.1
+
+
+def set_bn_momentum(momentum: float) -> None:
+    """Torch-convention BN momentum (new = (1-m)*old + m*batch) for every
+    'bn' Norm site — the reference applies cfg.MODEL.BN_MOMENTUM to all
+    BNs at model init (stp3/models/stp3.py:109, utils/network.py:27-30;
+    0.1 default, 0.05 in every published config)."""
+    global _BN_MOMENTUM
+    _BN_MOMENTUM = float(momentum)
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -114,12 +126,31 @@ class Norm(nn.Module):
     """GroupNorm by default ('gn'); 'ln' LayerNorm; 'none' identity;
     'bn_frozen' inference-mode BatchNorm (fixed running statistics as
     non-trainable params) — the import target for reference torch
-    checkpoints whose BN statistics must be preserved.
+    checkpoints whose BN statistics must be preserved; 'bn' trainable
+    BatchNorm (running stats in the mutable ``batch_stats`` collection) —
+    the reference's from-scratch training recipe (BN + sync_batchnorm,
+    /root/reference/train.py:45).
+
+    'bn' semantics: train/eval mode is derived from whether the caller
+    made ``batch_stats`` mutable (no ``train`` plumbing needed at every
+    Norm site); batch statistics reduce over all non-channel axes like
+    torch BatchNorm2d/3d; the running-average update uses the TORCH
+    momentum convention with the unbiased variance, configured via
+    ``set_bn_momentum`` (cfg.MODEL.BN_MOMENTUM). Sync-BN falls out of
+    GSPMD: under jit with the batch sharded over the 'data' mesh axis the
+    batch-mean IS the global mean (XLA inserts the cross-replica
+    collectives), which is exactly Lightning's sync_batchnorm=True.
+
+    The param tree of 'bn' ({scale, bias} params + {mean, var}
+    batch_stats at the same Norm path) splits from a 'bn_frozen' tree
+    ({mean, var, scale, bias} all params) via
+    ``training.checkpoint.split_frozen_bn`` — the fine-tune-an-imported-
+    checkpoint-with-live-BN path.
 
     kind='default' resolves to the process-wide ``set_default_norm`` choice
     (cfg.MODEL.NORM).
 
-    ``eps`` is used by the bn_frozen branch only: torch BatchNorm defaults
+    ``eps`` is used by the bn branches only: torch BatchNorm defaults
     to 1e-5, but efficientnet_pytorch builds its BNs with eps=1e-3
     (batch_norm_epsilon) — the EfficientNet trunk passes eps=1e-3 so
     imported reference statistics normalise identically."""
@@ -142,6 +173,30 @@ class Norm(nn.Module):
             bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
             inv = jax.lax.rsqrt(var + self.eps) * scale
             return (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + bias.astype(x.dtype)
+        if kind == 'bn':
+            c = x.shape[-1]
+            scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+            ra_mean = self.variable('batch_stats', 'mean',
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable('batch_stats', 'var',
+                                   lambda: jnp.ones((c,), jnp.float32))
+            training = (self.is_mutable_collection('batch_stats')
+                        and not self.is_initializing())
+            if training:
+                xf = x.astype(jnp.float32).reshape(-1, c)
+                mean = xf.mean(0)
+                var = jnp.maximum((xf * xf).mean(0) - mean * mean, 0.0)
+                n = xf.shape[0]
+                unbiased = var * (n / max(n - 1, 1))
+                m = _BN_MOMENTUM
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.eps) * scale
+            return ((x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+                    + bias.astype(x.dtype))
         return _GroupNormFast(num_groups=_num_groups(x.shape[-1], self.groups),
                               name='GroupNorm_0')(x)
 

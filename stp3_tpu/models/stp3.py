@@ -117,8 +117,9 @@ class STP3Config:
 
     @classmethod
     def from_cfg(cls, cfg) -> "STP3Config":
-        from stp3_tpu.layers.convolutions import set_default_norm
+        from stp3_tpu.layers.convolutions import set_bn_momentum, set_default_norm
         set_default_norm(cfg.MODEL.get('NORM', 'gn'))
+        set_bn_momentum(cfg.MODEL.get('BN_MOMENTUM', 0.1))
         return cls(
             x_bound=tuple(cfg.LIFT.X_BOUND), y_bound=tuple(cfg.LIFT.Y_BOUND),
             z_bound=tuple(cfg.LIFT.Z_BOUND), d_bound=tuple(cfg.LIFT.D_BOUND),

@@ -83,10 +83,11 @@ def _mlp_reference(h, x, scale, bias, w1, b1, w2, b2, gamma):
     return y.astype(x.dtype)
 
 
-def _forward(h, x, scale, bias, w1, b1, w2, b2, gamma):
+def _forward(h, x, scale, bias, w1, b1, w2, b2, gamma, rows=None):
     n, c = h.shape
     c4 = w1.shape[1]
-    rows = min(_ROWS, -(-n // 8) * 8)
+    rows = rows or int(os.environ.get('STP3_CONVNEXT_ROWS', _ROWS))
+    rows = min(rows, -(-n // 8) * 8)
     n_tiles = -(-n // rows)
     pad = n_tiles * rows - n
     if pad:
@@ -110,6 +111,8 @@ def _forward(h, x, scale, bias, w1, b1, w2, b2, gamma):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * rows, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
+            # row tiles are independent: let Mosaic pipeline the grid
+            dimension_semantics=('parallel',),
             vmem_limit_bytes=96 * 1024 * 1024),
     )(h, x, scale.reshape(1, c), bias.reshape(1, c),
       w1.astype(jnp.bfloat16), b1.reshape(1, c4),

@@ -31,12 +31,17 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(ckpt_dir: str, step: int, params, opt_state=None,
-                    cfg_dict: Optional[Dict[str, Any]] = None) -> str:
+                    cfg_dict: Optional[Dict[str, Any]] = None,
+                    batch_stats=None) -> str:
     path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
     ckptr = ocp.StandardCheckpointer()
     payload = {'params': params, 'step': np.int64(step)}
     if opt_state is not None:
         payload['opt_state'] = opt_state
+    if batch_stats is not None:
+        # MODEL.NORM='bn' running statistics (their own collection, not
+        # params — they are neither trained nor weight-decayed)
+        payload['batch_stats'] = batch_stats
     ckptr.save(os.path.join(path, 'state'), payload, force=True)
     ckptr.wait_until_finished()
     if cfg_dict is not None:
@@ -75,8 +80,14 @@ def resolve_checkpoint_path(path: str) -> str:
     """Accept either a concrete step dir (containing 'state') or a
     checkpoint ROOT dir — resolved via its 'last' pointer, falling back to
     the highest step_N. Lets ``evaluate.py --checkpoint <dir>`` take the
-    directory the import/training CLI printed."""
+    directory the import/training CLI printed. A pointer FILE (the 'last'
+    or 'best' marker train.py writes) is followed, so
+    ``evaluate.py --checkpoint <dir>/best`` selects the best-val-IoU epoch
+    (reference ModelCheckpoint monitor, train.py:36-42)."""
     path = os.path.abspath(path)
+    if os.path.isfile(path):
+        with open(path) as f:
+            path = f.read().strip()
     if os.path.exists(os.path.join(path, 'state')):
         return path
     last = latest_checkpoint(path)
@@ -107,6 +118,58 @@ def load_config_dict(path: str) -> Optional[Dict[str, Any]]:
         with open(cfg_path) as f:
             return json.load(f)
     return None
+
+
+def split_frozen_bn(params):
+    """'bn_frozen' param tree -> ('bn' param tree, batch_stats collection).
+
+    A bn_frozen Norm carries {mean, var, scale, bias} as params at one
+    path; the trainable 'bn' kind keeps {scale, bias} as params and
+    {mean, var} in the mutable batch_stats collection at the SAME path.
+    This is the fine-tune-an-imported-reference-checkpoint-with-live-BN
+    path (reference trains BN with sync_batchnorm, train.py:45): import
+    with MODEL.NORM=bn_frozen (utils/torch_import.py), split, then train
+    with MODEL.NORM=bn.
+
+    Only dicts holding BOTH 'mean' and 'var' array leaves are split —
+    that combination exists exclusively at bn_frozen Norm sites."""
+    def walk(node):
+        if not isinstance(node, dict):
+            return node, None
+        is_bn = ('mean' in node and 'var' in node
+                 and not isinstance(node['mean'], dict)
+                 and not isinstance(node['var'], dict))
+        if is_bn:
+            p = {k: v for k, v in node.items() if k not in ('mean', 'var')}
+            s = {'mean': node['mean'], 'var': node['var']}
+            return p, s
+        p_out, s_out = {}, {}
+        for k, v in node.items():
+            p, s = walk(v)
+            p_out[k] = p
+            if s is not None:
+                s_out[k] = s
+        return p_out, (s_out or None)
+
+    return walk(params)
+
+
+def merge_bn_to_frozen(params, batch_stats):
+    """Inverse of split_frozen_bn: fold a 'bn' run's running statistics
+    back into a bn_frozen-style param tree (e.g. to export a trained model
+    back to the reference format via utils.torch_import.export_state_dict)."""
+    def walk(p, s):
+        out = dict(p)
+        is_stats_leaf = ('mean' in s and 'var' in s
+                         and not isinstance(s['mean'], dict))
+        if is_stats_leaf:
+            out.update(s)
+            return out
+        for k, v in s.items():
+            out[k] = walk(p[k], v)
+        return out
+
+    return walk(params, batch_stats)
 
 
 def filter_warm_start_params(restored_params, init_params, exclude_substr: str = 'decoder'):

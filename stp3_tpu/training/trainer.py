@@ -37,7 +37,10 @@ from stp3_tpu.utils.precision import cast_floating, policy_dtype
 
 
 class TrainState(train_state.TrainState):
-    pass
+    # running BN statistics (MODEL.NORM='bn' only; None otherwise). Lives on
+    # the state so the jitted step can update it functionally — the flax
+    # ``batch_stats`` collection made mutable inside loss_fn.
+    batch_stats: Any = None
 
 
 def _trainable_mask(params):
@@ -126,7 +129,9 @@ class Trainer:
 
         variables = jax.jit(_init)(rng, sample)
         params = variables['params']
-        state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+        state = TrainState.create(apply_fn=self.model.apply, params=params,
+                                  tx=self.tx,
+                                  batch_stats=variables.get('batch_stats'))
         return jax.device_put(state, replicated(self.mesh))
 
     def param_count(self, state: TrainState) -> int:
@@ -176,11 +181,15 @@ class Trainer:
 
     # ------------------------------------------------------------- loss
     def _compute_losses(self, params, output, labels, batch, rng,
-                        params_c=None) -> Dict[str, jnp.ndarray]:
+                        params_c=None, batch_stats=None):
+        """Returns (loss_dict, planner_batch_stats_or_None) — the planner
+        apply is a separate model traversal, so its BN sites update in
+        their own mutable pass."""
         cfg = self.cfg
         rf = self.rf
         if params_c is None:
             params_c = params
+        plan_stats = None
         loss: Dict[str, jnp.ndarray] = {}
 
         def factor(name):
@@ -236,8 +245,10 @@ class Trainer:
             occupancy = jnp.logical_or(labels['segmentation'][:, rf:],
                                        occ_ped).astype(jnp.float32)
             dt = self.compute_dtype
-            pl_loss, final_traj = self.model.apply(
-                {'params': params_c},
+            variables = {'params': params_c}
+            if batch_stats is not None:
+                variables['batch_stats'] = batch_stats
+            plan_args = (
                 jax.lax.stop_gradient(output['cam_front']).astype(dt),
                 batch['sample_trajectory'][:, :, 1:],
                 labels['gt_trajectory'][:, 1:],
@@ -245,35 +256,59 @@ class Trainer:
                 occupancy,
                 labels['hdmap'].astype(jnp.float32),
                 batch['command'],
-                batch['target_point'],
-                train=True, method=STP3.plan,
-                rngs={'dropout': rng})
+                batch['target_point'])
+            if batch_stats is not None:
+                (pl_loss, final_traj), mut = self.model.apply(
+                    variables, *plan_args, train=True, method=STP3.plan,
+                    rngs={'dropout': rng}, mutable=['batch_stats'])
+                plan_stats = mut['batch_stats']
+            else:
+                pl_loss, final_traj = self.model.apply(
+                    variables, *plan_args, train=True, method=STP3.plan,
+                    rngs={'dropout': rng})
             loss['planning'] = factor('planning_weight') * pl_loss.astype(jnp.float32)
             loss['planning_uncertainty'] = 0.5 * params['planning_weight']
-        return loss
+        return loss, plan_stats
 
-    def loss_fn(self, params, batch, rng):
+    def loss_fn(self, params, batch, rng, batch_stats=None):
+        """Pure loss; aux is (loss_dict, new_batch_stats_or_None)."""
         labels = self.prepare_future_labels(batch)
         rng_sample, rng_drop, rng_plan = jax.random.split(rng, 3)
         params_c = cast_floating(params, self.compute_dtype)
         image = batch['image'].astype(self.compute_dtype)
-        output = self.model.apply(
-            {'params': params_c}, image, batch['intrinsics'],
-            batch['extrinsics'], batch['future_egomotion'], train=True,
-            rngs={'sample': rng_sample, 'dropout': rng_drop})
+        fwd_args = (image, batch['intrinsics'], batch['extrinsics'],
+                    batch['future_egomotion'])
+        rngs = {'sample': rng_sample, 'dropout': rng_drop}
+        if batch_stats is not None:
+            output, mut = self.model.apply(
+                {'params': params_c, 'batch_stats': batch_stats}, *fwd_args,
+                train=True, rngs=rngs, mutable=['batch_stats'])
+            new_stats = {**batch_stats, **mut['batch_stats']}
+        else:
+            output = self.model.apply({'params': params_c}, *fwd_args,
+                                      train=True, rngs=rngs)
+            new_stats = None
         # losses in fp32 (log-softmax etc. are unstable in bf16)
         output = cast_floating(output, jnp.float32)
-        loss = self._compute_losses(params, output, labels, batch, rng_plan,
-                                    params_c=params_c)
+        loss, plan_stats = self._compute_losses(
+            params, output, labels, batch, rng_plan, params_c=params_c,
+            batch_stats=batch_stats)
+        if new_stats is not None and plan_stats is not None and 'planner' in plan_stats:
+            # the planner traversal only touches its own subtree; everything
+            # else in its returned collection is the stale input
+            new_stats['planner'] = plan_stats['planner']
         total = sum(loss.values())
-        return total, loss
+        return total, (loss, new_stats)
 
     # ------------------------------------------------------------- steps
     def _train_step_impl(self, state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        (total, loss_dict), grads = jax.value_and_grad(
-            self.loss_fn, has_aux=True)(state.params, batch, rng)
+        (total, (loss_dict, new_stats)), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(state.params, batch, rng,
+                                        state.batch_stats)
         state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
         loss_dict = dict(loss_dict)
         loss_dict['total'] = total
         return state, loss_dict
@@ -281,12 +316,16 @@ class Trainer:
     def train_step(self, state, batch, rng):
         return self._train_step(state, batch, rng)
 
-    def _val_forward_impl(self, params, batch):
+    def _val_forward_impl(self, params, batch, batch_stats=None):
         labels = self.prepare_future_labels(batch)
         params_c = cast_floating(params, self.compute_dtype)
+        variables = {'params': params_c}
+        if batch_stats is not None:
+            # eval mode: running averages, collection NOT mutable
+            variables['batch_stats'] = batch_stats
         image = batch['image'].astype(self.compute_dtype)
         output = self.model.apply(
-            {'params': params_c}, image, batch['intrinsics'],
+            variables, image, batch['intrinsics'],
             batch['extrinsics'], batch['future_egomotion'], train=False)
         if self.cfg.PLANNING.ENABLED:
             rf = self.rf
@@ -296,7 +335,7 @@ class Trainer:
                         else jnp.zeros_like(seg_pred))
             occupancy = jnp.logical_or(seg_pred, ped_pred)
             _, final_traj = self.model.apply(
-                {'params': params_c}, output['cam_front'],
+                variables, output['cam_front'],
                 batch['sample_trajectory'][:, :, 1:].astype(self.compute_dtype),
                 labels['gt_trajectory'][:, 1:].astype(self.compute_dtype),
                 output['costvolume'][:, rf:],
@@ -307,11 +346,11 @@ class Trainer:
             output['final_traj'] = final_traj
         return cast_floating(output, jnp.float32), labels
 
-    def val_step(self, params, batch) -> Tuple[Dict, Dict]:
+    def val_step(self, params, batch, batch_stats=None) -> Tuple[Dict, Dict]:
         """Forward + metric updates (reference trainer.py:199-250)."""
         cfg = self.cfg
         rf = self.rf
-        output, labels = self._val_forward(params, batch)
+        output, labels = self._val_forward(params, batch, batch_stats)
 
         seg_pred = np.asarray(output['segmentation']).argmax(-1)
         self.metric_vehicle_val.update(seg_pred[:, rf - 1:],

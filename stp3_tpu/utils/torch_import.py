@@ -561,15 +561,9 @@ class ImportReport:
         return not self.missing and not self.unexpected
 
 
-def import_state_dict(sd: Dict[str, object], cfg, *,
-                      strict: bool = True) -> Tuple[Params, ImportReport]:
-    """torch state_dict -> flax param tree (requires MODEL.NORM='bn_frozen').
-
-    ``sd`` values may be torch tensors or numpy arrays. Lightning checkpoints
-    should be unwrapped to their ``state_dict`` first (see
-    ``load_reference_checkpoint``)."""
-    sd = {k: _to_np(v) for k, v in sd.items()}
-    entries = build_mapping(cfg)
+def _convert_entries(sd: StateDict, entries: Sequence[Entry]):
+    """Apply mapping entries to a numpy state_dict. Returns
+    (params, consumed_keys, missing_keys, n_converted)."""
     params: Params = {}
     consumed = set()
     missing: List[str] = []
@@ -583,6 +577,18 @@ def import_state_dict(sd: Dict[str, object], cfg, *,
             _put(params, path, np.asarray(v, np.float32))
             n += 1
         consumed.update(e.torch_keys)
+    return params, consumed, missing, n
+
+
+def import_state_dict(sd: Dict[str, object], cfg, *,
+                      strict: bool = True) -> Tuple[Params, ImportReport]:
+    """torch state_dict -> flax param tree (requires MODEL.NORM='bn_frozen').
+
+    ``sd`` values may be torch tensors or numpy arrays. Lightning checkpoints
+    should be unwrapped to their ``state_dict`` first (see
+    ``load_reference_checkpoint``)."""
+    sd = {k: _to_np(v) for k, v in sd.items()}
+    params, consumed, missing, n = _convert_entries(sd, build_mapping(cfg))
     ignored = [k for k in sd if k not in consumed and _is_ignored(k)]
     unexpected = [k for k in sd if k not in consumed and not _is_ignored(k)]
     report = ImportReport(n, sorted(ignored), sorted(missing), sorted(unexpected))
@@ -592,6 +598,85 @@ def import_state_dict(sd: Dict[str, object], cfg, *,
             f'({len(report.missing)} total), unexpected={report.unexpected[:10]} '
             f'({len(report.unexpected)} total)')
     return params, report
+
+
+def import_backbone_state_dict(sd: Dict[str, object], arch: str, *,
+                               strict: bool = True) -> Tuple[Params, ImportReport]:
+    """Bare efficientnet-pytorch ImageNet state_dict -> Encoder trunk subtree.
+
+    Maps ``_conv_stem/_bn0/_blocks.N.*`` onto the flax
+    ``EfficientNetFeatures_0`` param tree (bn_frozen Norms carrying the
+    ImageNet running stats), truncated at the downsample-8 endpoint exactly
+    like the reference deletes blocks (stp3/models/encoder.py:18,39-55).
+    Classifier-side keys (``_conv_head/_bn1/_fc``) and blocks beyond the
+    truncation index are expected and ignored.
+
+    Returns a subtree rooted at ``EfficientNetFeatures_0`` — merge it into a
+    full model init with :func:`merge_backbone`. This is the "drop in the
+    ImageNet .pth when egress exists" path: the reference's encoder starts
+    from ``EfficientNet.from_pretrained(cfg.NAME)`` and every published
+    metric assumes that init.
+    """
+    from stp3_tpu.models.efficientnet import _TRUNCATE_IDX
+
+    sd = {k: _to_np(v) for k, v in sd.items()}
+    prefixed = {f'backbone.{k}': v for k, v in sd.items()}
+    b = MapBuilder()
+    b.efficientnet('backbone', 'EfficientNetFeatures_0', arch)
+    params, consumed, missing, n = _convert_entries(prefixed, b.entries)
+    missing = [k[len('backbone.'):] for k in missing]
+
+    trunc = _TRUNCATE_IDX[arch]
+
+    def _backbone_ignored(key: str) -> bool:
+        if 'num_batches_tracked' in key:
+            return True
+        if key.startswith(('_conv_head.', '_bn1.', '_fc.')):
+            return True
+        if key.startswith('_blocks.'):
+            idx = int(key.split('.')[1])
+            return idx > trunc
+        return False
+
+    rest = [k for k in sd if f'backbone.{k}' not in consumed]
+    ignored = [k for k in rest if _backbone_ignored(k)]
+    unexpected = [k for k in rest if not _backbone_ignored(k)]
+    report = ImportReport(n, sorted(ignored), sorted(missing), sorted(unexpected))
+    if strict and not report.ok():
+        raise ValueError(
+            f'backbone import mismatch: missing={report.missing[:10]} '
+            f'({len(report.missing)} total), unexpected={report.unexpected[:10]} '
+            f'({len(report.unexpected)} total)')
+    return params, report
+
+
+def merge_backbone(params: Params, backbone: Params) -> Params:
+    """Replace the encoder trunk subtree of a full STP3 param tree with an
+    imported backbone (output of :func:`import_backbone_state_dict`).
+
+    Validates leaf shapes against the existing subtree so a b0/b4 or
+    norm-kind mismatch fails loudly instead of at apply time."""
+    import jax.tree_util as jtu
+
+    sub = backbone['EfficientNetFeatures_0']
+    cur = params['encoder']['EfficientNetFeatures_0']
+    cur_leaves = {jtu.keystr(p): np.shape(v)
+                  for p, v in jtu.tree_flatten_with_path(cur)[0]}
+    new_leaves = {jtu.keystr(p): np.shape(v)
+                  for p, v in jtu.tree_flatten_with_path(sub)[0]}
+    if cur_leaves != new_leaves:
+        only_cur = sorted(set(cur_leaves) - set(new_leaves))[:5]
+        only_new = sorted(set(new_leaves) - set(cur_leaves))[:5]
+        shape_mismatch = sorted(k for k in cur_leaves
+                                if k in new_leaves and cur_leaves[k] != new_leaves[k])[:5]
+        raise ValueError(
+            'backbone subtree does not match model init: '
+            f'missing={only_cur} extra={only_new} shape={shape_mismatch}')
+    out = dict(params)
+    enc = dict(out['encoder'])
+    enc['EfficientNetFeatures_0'] = sub
+    out['encoder'] = enc
+    return out
 
 
 def export_state_dict(params: Params, cfg) -> StateDict:

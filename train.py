@@ -76,10 +76,13 @@ def main():
         restored = ckpt_lib.load_checkpoint(cfg.CHECKPOINT.RESUME)
         state = state.replace(params=restored['params'],
                               opt_state=restored.get('opt_state', state.opt_state),
-                              step=int(restored.get('step', 0)))
+                              step=int(restored.get('step', 0)),
+                              batch_stats=restored.get('batch_stats',
+                                                       state.batch_stats))
         print(f'resumed from {cfg.CHECKPOINT.RESUME} at step {int(state.step)}')
 
     step = int(state.step)
+    best_iou = -1.0
     for epoch in range(cfg.EPOCHS):
         for batch in trainloader:
             batch = shard_batch(batch, trainer.mesh)
@@ -107,7 +110,8 @@ def main():
                 try:
                     from stp3_tpu.utils.visualisation import visualise_output
                     # forward only — must not touch the val metric states
-                    output, labels = trainer._val_forward(state.params, batch)
+                    output, labels = trainer._val_forward(
+                        state.params, batch, state.batch_stats)
                     panel = visualise_output(labels, output, cfg)
                     import torch
                     vid = torch.from_numpy(
@@ -120,7 +124,8 @@ def main():
         trainer.reset_metrics()
         for val_idx, batch in enumerate(valloader):
             batch = shard_batch(batch, trainer.mesh)
-            output, labels = trainer.val_step(state.params, batch)
+            output, labels = trainer.val_step(state.params, batch,
+                                              state.batch_stats)
             if val_idx == 0 and writer is not None:
                 # GT-vs-pred BEV panel video (reference trainer.py:362-367)
                 try:
@@ -166,8 +171,19 @@ def main():
 
         if cfg.CHECKPOINT.SAVE_EVERY_EPOCH:
             path = ckpt_lib.save_checkpoint(ckpt_dir, step, state.params,
-                                            state.opt_state, cfg.convert_to_dict())
+                                            state.opt_state, cfg.convert_to_dict(),
+                                            batch_stats=state.batch_stats)
             print(f'saved checkpoint {path}')
+            # best-by-val-IoU pointer (the reference's ModelCheckpoint
+            # monitors step_val_seg_iou_dynamic, train.py:36-42 — the
+            # dynamic/vehicle class IoU)
+            iou = np.asarray(metrics['iou_vehicle']).ravel()
+            iou_dyn = float(iou[1]) if iou.size > 1 else float(iou[0])
+            if iou_dyn > best_iou:
+                best_iou = iou_dyn
+                with open(os.path.join(ckpt_dir, 'best'), 'w') as f:
+                    f.write(path)
+                print(f'new best val vehicle IoU {iou_dyn:.4f} -> {path}')
 
     print('done.')
 
