@@ -39,9 +39,13 @@ def prepare_dataloaders(cfg, return_dataset: bool = False, split: str = 'both'):
     else:
         raise NotImplementedError(name)
 
-    trainloader = (NumpyLoader(traindata, cfg.BATCHSIZE, shuffle=True, drop_last=True)
+    kw = dict(num_workers=int(cfg.N_WORKERS),
+              use_processes=cfg.get('WORKER_KIND', 'thread') == 'process')
+    trainloader = (NumpyLoader(traindata, cfg.BATCHSIZE, shuffle=True,
+                               drop_last=True, **kw)
                    if traindata is not None else None)
-    valloader = NumpyLoader(valdata, cfg.BATCHSIZE, shuffle=False, drop_last=False)
+    valloader = NumpyLoader(valdata, cfg.BATCHSIZE, shuffle=False,
+                            drop_last=False, **kw)
     if return_dataset:
         return trainloader, valloader, traindata, valdata
     return trainloader, valloader

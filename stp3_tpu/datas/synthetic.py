@@ -203,18 +203,46 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+# per-worker dataset handle for process-pool workers (pickled in once by
+# the pool initializer)
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _load_worker_sample(idx: int):
+    return _WORKER_DATASET[idx]
+
+
 class NumpyLoader:
     """Minimal batching iterator over an indexable dataset (host-side).
 
     ``num_workers > 0`` overlaps per-sample loading with device compute via
-    a thread pool + bounded prefetch queue (the reference's DataLoader
-    worker processes, dataloaders.py:20-25; threads suffice here because
-    the heavy per-sample work — PIL decode, cv2 rasterise, numpy sampling —
-    releases the GIL or is cheap)."""
+    a worker pool + bounded prefetch queue (the reference's DataLoader
+    workers, dataloaders.py:20-25). Two pool kinds:
+
+      * threads (default): zero IPC cost; right when the per-sample work
+        releases the GIL (PIL decode, cv2 rasterise) or is cheap
+        (synthetic).
+      * processes (``use_processes=True``): spawn-based pool, one dataset
+        copy pickled into each worker at pool start — the reference's 5-8
+        worker processes per rank. Right when per-sample python overhead
+        is GIL-bound; costs one pickle round-trip per sample outbound.
+        `benchmarks/loader_bench.py` measures both against the
+        fake-devkit nuScenes backend.
+
+    spawn (not fork): the training process holds live JAX runtime
+    threads, and forking with held mutexes deadlocks child workers
+    (observed: fork pool fine from a bare script, hangs under the test
+    runner's initialized CPU backend). Workers are cleaned up via
+    ``close()``/GC."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, seed: int = 0, num_workers: int = 4,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_processes: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -223,6 +251,29 @@ class NumpyLoader:
         self.epoch = 0
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.use_processes = use_processes
+        self._pool = None
+
+    # -- process-pool plumbing ------------------------------------------
+    def _proc_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            ctx = mp.get_context('spawn')
+            self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
+                                  initargs=(self.dataset,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -242,6 +293,9 @@ class NumpyLoader:
         if self.num_workers <= 0:
             for chunk in batches:
                 yield collate([self.dataset[int(j)] for j in chunk])
+            return
+        if self.use_processes:
+            yield from self._iter_processes(batches)
             return
 
         from concurrent.futures import ThreadPoolExecutor
@@ -264,3 +318,26 @@ class NumpyLoader:
                 if chunk is not None:
                     pending.append(pool.submit(load, chunk))
                 yield fut.result()
+
+    def _iter_processes(self, batches):
+        """Per-SAMPLE fan-out over the fork pool (a whole batch per task
+        would serialise its samples in one worker), batches re-assembled
+        in order with `prefetch` batches of samples in flight."""
+        pool = self._proc_pool()
+        pending = []           # list of list-of-AsyncResult, one per batch
+        it = iter(batches)
+
+        def submit(chunk):
+            return [pool.apply_async(_load_worker_sample, (int(j),))
+                    for j in chunk]
+
+        for _ in range(max(self.prefetch, 1)):
+            chunk = next(it, None)
+            if chunk is not None:
+                pending.append(submit(chunk))
+        while pending:
+            batch_futs = pending.pop(0)
+            chunk = next(it, None)
+            if chunk is not None:
+                pending.append(submit(chunk))
+            yield collate([f.get() for f in batch_futs])

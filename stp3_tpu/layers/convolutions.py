@@ -438,16 +438,17 @@ class ConvNeXtBlock(nn.Module):
     """ConvNeXt block: dwconv7 -> LN -> pw 4x -> GELU -> pw -> gamma + skip
     (reference convolutions.py:310-346). Channels-last native — no permutes.
 
-    On a single-device TPU the LN->pw->GELU->pw->gamma+skip tail runs as
-    one fused pallas kernel (ops/pallas/convnext_mlp_kernel.py): XLA
-    materialises the (N, 4C) expanded tensor + LN/GELU intermediates in
-    HBM (~4 ms per block over 9 flagship frames, bandwidth-bound); the
-    kernel streams row tiles through VMEM. The dwconv stays XLA (0.2 ms,
-    measured round 2). Param tree is identical on both paths."""
+    On TRAINING traces on a single-device TPU the LN->pw->GELU->pw->
+    gamma+skip tail runs as one fused pallas kernel
+    (ops/pallas/convnext_mlp_kernel.py): single-pass forward + remat
+    backward, measured -20 ms/train-step. On inference traces the kernel
+    is off by default: the custom-call's layout constraints de-optimise
+    the GRU-rollout convs feeding it (full analysis in the kernel's gate
+    docstring). Param tree is identical on both paths."""
     layer_scale_init_value: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         from stp3_tpu.ops.pallas.convnext_mlp_kernel import (
             convnext_mlp_pallas, use_fused_convnext)
 
@@ -460,7 +461,7 @@ class ConvNeXtBlock(nn.Module):
         gamma = self.param('gamma', nn.initializers.constant(
             self.layer_scale_init_value), (dim,))
 
-        if use_fused_convnext() and not self.is_initializing():
+        if use_fused_convnext(train) and not self.is_initializing():
             # read the (already-initialized) submodule params directly; the
             # flax modules above exist so both paths share one param tree
             p = self.variables['params']

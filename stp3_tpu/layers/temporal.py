@@ -127,85 +127,21 @@ class _LatentGRUCell(nn.Module):
         return (1.0 - update) * state + update * tilde
 
 
-class _ConvGRUCellParams(nn.Module):
-    """Parameter-only mirror of ConvGRUCell: declares the same
-    {gates, candidate}/{kernel, bias} tree (same shapes and inits as the
-    nn.Convs) without computing anything, so the fused pallas rollout can
-    read the weights while staying checkpoint-interchangeable with the
-    XLA cell."""
-    hidden_size: int
-    cin: int
-
-    def setup(self):
-        self.gates = _RawConv(2 * self.hidden_size, self.cin, name='gates')
-        self.candidate = _RawConv(self.hidden_size, self.cin, name='candidate')
-
-
-# Per-kernel auto-defaults for the fused pallas GRU rollouts: flip to
-# True only if an on-chip e2e A/B (benchmarks/tpu_queue*.sh bench_*gru)
-# confirms that kernel wins. Env hatches always override.
-# Round-2 chip verdicts:
-#   STP3_SPATIAL_GRU: PERMANENT COMPILE FAIL at flagship scale — the
-#     Mosaic compile VMEM-OOMs ("Ran out of memory in memory space vmem.
-#     Used 143.65M of 128.00M"): the double-buffered per-timestep
-#     (1,1,40400,64) input/output windows (~20M each) + the
-#     VMEM-resident (40400,128) gate scratch rows cannot coexist with
-#     the carried state at 200x200x64. Stays False; fitting it needs a
-#     row-tiled rollout (halo-exchanged 3x3 conv) — not worth it for the
-#     ~7 ms the two SpatialGRU passes cost e2e.
-#   STP3_DUAL_GRU: see bench_dgru log / CLAUDE.md.
-_FUSED_GRU_AUTO = {
-    'STP3_SPATIAL_GRU': False,
-    'STP3_DUAL_GRU': False,
-}
-
-
-def _fused_rollout(env_key: str, allow: bool) -> bool:
-    """Trace-time choice of the fused pallas rollout. An env force wins
-    ('pallas' -> on, 'off'/'xla' -> off); otherwise auto: only when the
-    caller allows it (the DualGRU kernel is forward-only, so
-    FuturePrediction grants it on inference traces only; the SpatialGRU
-    rollout has a VJP and is allowed everywhere), that kernel's auto
-    default is flipped on, and we're on a single TPU device (pallas
-    neither runs on CPU nor partitions under GSPMD — the same rule as
-    ops.bev_pool method='auto')."""
-    env = os.environ.get(env_key, '')
-    if env == 'pallas':
-        return True
-    if env in ('off', 'xla'):
-        return False
-    return (allow and _FUSED_GRU_AUTO[env_key]
-            and jax.default_backend() == 'tpu' and jax.device_count() == 1)
-
-
-class _LNParams(nn.Module):
-    """Parameter-only mirror of nn.LayerNorm (scale + bias)."""
-    features: int
-
-    def setup(self):
-        self.scale = self.param('scale', nn.initializers.ones, (self.features,))
-        self.bias = self.param('bias', nn.initializers.zeros, (self.features,))
-
-
-class _BottleblockParams(nn.Module):
-    """Parameter-only mirror of convolutions.Bottleblock for in != out
-    channels (the trusting-gate case): submodule names match the compact
-    Bottleblock's call-order auto-names (Conv_0 7x7, LN_0, Conv_1 1x1,
-    LN_1, Conv_2 3x3, LN_2, Conv_3 = 1x1 skip)."""
-    in_ch: int
-    out_ch: int
-
-    def setup(self):
-        bneck = self.in_ch // 2
-        self.Conv_0 = _RawConv(bneck, self.in_ch, (7, 7), use_bias=False)
-        self.LayerNorm_0 = _LNParams(bneck)
-        self.Conv_1 = _RawConv(bneck, bneck, (1, 1), use_bias=False)
-        self.LayerNorm_1 = _LNParams(bneck)
-        self.Conv_2 = _RawConv(self.out_ch, bneck, (3, 3), use_bias=False)
-        self.LayerNorm_2 = _LNParams(self.out_ch)
-        self.Conv_3 = _RawConv(self.out_ch, self.in_ch, (1, 1), use_bias=False)
-
-
+# NOTE (rounds 2-3, negative results — do not rebuild without new
+# evidence): two fused whole-rollout pallas kernels lived here
+# (ops/pallas/{spatial_gru,dual_gru}_kernel.py, removed round 3; see git
+# history for the implementations and hand-written reverse-time VJP).
+#   * SpatialGRU rollout: PERMANENT Mosaic compile fail at flagship scale
+#     ("Ran out of memory in memory space vmem. Used 143.65M of 128.00M"
+#     after a ~27 min remote compile) — the double-buffered per-timestep
+#     (1,1,40400,64) windows + the VMEM-resident (40400,128) gate scratch
+#     cannot coexist with the carried 200x200x64 state.
+#   * DualGRU rollout: the e2e A/B timed out a 1800 s slot still
+#     compiling; honest rollout cost is ~10 ms (the round-2 1.17 ms
+#     number was a dead-code-eliminated chain — benchmarks/README.md),
+#     and pallas consumers of rollout outputs de-optimise the producer
+#     convs (the round-3 layout-poisoning finding), so the ceiling never
+#     justified the compile-time risk.
 
 
 class SpatialGRU(nn.Module):
@@ -214,7 +150,6 @@ class SpatialGRU(nn.Module):
     input_size: int
     hidden_size: int
     gru_bias_init: float = 0.0
-    allow_fused: bool = False   # caller grants the (forward-only) fused path
 
     @nn.compact
     def __call__(self, x, state: Optional[jnp.ndarray] = None):
@@ -222,21 +157,6 @@ class SpatialGRU(nn.Module):
         if state is None:
             state = jnp.zeros((b, h, w, self.hidden_size), x.dtype)
         decoder = nn.Conv(self.input_size, (1, 1), use_bias=False, name='decoder')
-
-        # Fused rollout: the WHOLE T-step recurrence in one pallas launch
-        # with the hidden state VMEM-resident (forward-only — training
-        # keeps the XLA cell). Decided at trace time; on-chip A/B queued
-        # (benchmarks/spatial_gru_bench.py).
-        if _fused_rollout('STP3_SPATIAL_GRU', self.allow_fused):
-            from stp3_tpu.ops.pallas.spatial_gru_kernel import conv_gru_rollout_pallas
-            cell = _ConvGRUCellParams(self.hidden_size,
-                                      x.shape[-1] + self.hidden_size,
-                                      name='cell')
-            states = conv_gru_rollout_pallas(
-                x, state, cell.gates.kernel, cell.gates.bias,
-                cell.candidate.kernel, cell.candidate.bias,
-                self.gru_bias_init)
-            return decoder(states)
 
         cell = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell')
         # UNROLLED python loop, not nn.scan: T <= 9 here, and the scan's
@@ -265,7 +185,6 @@ class DualGRU(nn.Module):
     n_future: int
     mixture: bool = True
     gru_bias_init: float = 0.0
-    allow_fused: bool = False   # caller grants the (forward-only) fused path
 
     @nn.compact
     def __call__(self, x, state):
@@ -276,60 +195,6 @@ class DualGRU(nn.Module):
         # conv contributions out of the serial rollout (_LatentGRUCell)
         cell1 = _LatentGRUCell(self.hidden_size, self.input_size,
                                self.gru_bias_init, name='cell1')
-
-        # Fused rollout: warm-up + all n_future steps (2 GRU cells,
-        # decoder conv, 7x7 trust gate, mixing) in two pallas launches
-        # with the carried state VMEM-resident. Forward-only; requires
-        # mixture=True (flagship), else falls through to the XLA cells.
-        if self.mixture and _fused_rollout('STP3_DUAL_GRU', self.allow_fused):
-            from stp3_tpu.ops.pallas.dual_gru_kernel import dual_gru_rollout_pallas
-            from stp3_tpu.ops.pallas.spatial_gru_kernel import conv_gru_rollout_pallas
-            h2 = self.hidden_size
-            cell2p = _ConvGRUCellParams(h2, 2 * h2, name='cell2')
-            dec2p = _RawConv(h2, h2, name='decoder2')
-            # the default path's nn.Sequential children are auto-named in
-            # the PARENT scope (Bottleblock_0, Conv_0) — mirror those names
-            bb = _BottleblockParams(2 * h2, h2, name='Bottleblock_0')
-            headp = _RawConv(2, h2, (1, 1), use_bias=False, name='Conv_0')
-            if n_present > 1:
-                warm = conv_gru_rollout_pallas(
-                    state[:, :n_present - 1], state[:, 0],
-                    cell2p.gates.kernel, cell2p.gates.bias,
-                    cell2p.candidate.kernel, cell2p.candidate.bias,
-                    self.gru_bias_init)
-                h0 = warm[:, -1]
-            else:
-                h0 = state[:, 0]
-            gx, cxm = cell1.x_maps(x[:, 0])
-            params = {
-                'cell1': {'gates': {'kernel': cell1.gates.kernel,
-                                    'bias': cell1.gates.bias},
-                          'candidate': {'kernel': cell1.candidate.kernel,
-                                        'bias': cell1.candidate.bias}},
-                'cell2': {'gates': {'kernel': cell2p.gates.kernel,
-                                    'bias': cell2p.gates.bias},
-                          'candidate': {'kernel': cell2p.candidate.kernel,
-                                        'bias': cell2p.candidate.bias}},
-                'decoder2': {'kernel': dec2p.kernel, 'bias': dec2p.bias},
-                'trusting_gate': {
-                    'layers_0': {
-                        'Conv_0': {'kernel': bb.Conv_0.kernel},
-                        'LayerNorm_0': {'scale': bb.LayerNorm_0.scale,
-                                        'bias': bb.LayerNorm_0.bias},
-                        'Conv_1': {'kernel': bb.Conv_1.kernel},
-                        'LayerNorm_1': {'scale': bb.LayerNorm_1.scale,
-                                        'bias': bb.LayerNorm_1.bias},
-                        'Conv_2': {'kernel': bb.Conv_2.kernel},
-                        'LayerNorm_2': {'scale': bb.LayerNorm_2.scale,
-                                        'bias': bb.LayerNorm_2.bias},
-                        'Conv_3': {'kernel': bb.Conv_3.kernel},
-                    },
-                    'layers_1': {'kernel': headp.kernel},
-                },
-            }
-            return dual_gru_rollout_pallas(gx, cxm, state[:, -1], h0,
-                                           self.n_future, params,
-                                           self.gru_bias_init)
         cell2 = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell2')
         decoder2 = nn.Conv(self.hidden_size, (3, 3), padding='SAME', name='decoder2')
         trust = nn.Sequential([Bottleblock(self.hidden_size),

@@ -26,31 +26,26 @@ class FuturePrediction(nn.Module):
     def __call__(self, sample, state, *, train: bool = False):
         """sample: (B, 1, H, W, latent); state: (B, n_present, H, W, C).
         Returns (B, n_present + n_future, H, W, C)."""
-        # the fused pallas rollouts (layers/temporal._fused_rollout decides
-        # at trace time): the ConvGRU rollout has a hand-written VJP so
-        # SpatialGRU may fuse on training traces too; the DualGRU kernel
-        # is forward-only, so it is granted on inference traces only
         x = DualGRU(self.latent_dim, self.in_channels, n_future=self.n_future,
-                    mixture=self.mixture,
-                    allow_fused=not train)(sample, state)
+                    mixture=self.mixture)(sample, state)
 
         b, nf, h, w, c = x.shape
         flat = x.reshape(b * nf, h, w, c)
         for _ in range(self.n_res_layers):
-            flat = ConvNeXtBlock()(flat)
+            flat = ConvNeXtBlock()(flat, train=train)
         x = flat.reshape(b, nf, h, w, c)
 
         x = jnp.concatenate([state, x], axis=1)  # (B, S_total, H, W, C)
 
         hidden_state = x[:, 0]
         for i in range(self.n_gru_blocks):
-            x = SpatialGRU(self.in_channels, self.in_channels,
-                           allow_fused=True)(x, hidden_state)
+            x = SpatialGRU(self.in_channels,
+                           self.in_channels)(x, hidden_state)
             b2, s2, h2, w2, c2 = x.shape
             flat = x.reshape(b2 * s2, h2, w2, c2)
             if i < self.n_gru_blocks - 1:
                 for _ in range(self.n_res_layers):
-                    flat = ConvNeXtBlock()(flat)
+                    flat = ConvNeXtBlock()(flat, train=train)
             else:
                 flat = DeepLabHead(num_classes=self.in_channels, hidden_channel=128)(flat, train=train)
             x = flat.reshape(b2, s2, h2, w2, c2)

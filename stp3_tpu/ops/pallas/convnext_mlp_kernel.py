@@ -143,19 +143,31 @@ def _bwd(res, g):
 convnext_mlp_pallas.defvjp(_fwd, _bwd)
 
 
-def use_fused_convnext() -> bool:
-    """Trace-time gate, same contract as the splat's method='auto': env
-    STP3_CONVNEXT=pallas forces on, =off/xla forces off; auto default is
-    OFF until an on-chip e2e A/B records a win (flip _AUTO_DEFAULT then).
-    The kernel only runs on a single-device TPU backend (pallas neither
-    runs on CPU nor partitions under GSPMD)."""
+def use_fused_convnext(train: bool = False) -> bool:
+    """Trace-time gate. env STP3_CONVNEXT=pallas forces on, =off/xla forces
+    off; auto picks the kernel on TRAINING traces on a single-device TPU
+    and never on inference traces.
+
+    Round-3 on-chip verdicts behind the split default:
+      * train step WINS: 478.2 vs 498.0 ms @ batch 2 (/tmp/tpu_queue4
+        train_cnx) — the single-pass forward + rematerialised backward
+        beats XLA's materialised (N, 4C) chain on training traces.
+      * inference e2e LOSES: 110.7 vs 81.7 ms at batch 1 — NOT kernel
+        cost (standalone the block wins 3.2 vs 3.9 ms; a 3-block stack
+        wins 9.9 vs 11.4). Root cause, isolated with a trivial pallas
+        IDENTITY kernel reproducing the full +25 ms: a layout-constrained
+        tpu_custom_call consuming the DualGRU rollout output makes XLA
+        keep every conv on that producer chain in naive b01f
+        conv_general_dilated form (batch-1 T(2,128) tiles, symmetric
+        window padding) instead of its optimised 01bf rewrite
+        (space-folded matmuls, T(8,128)); the rollout's gate convs run
+        ~3x slower. optimization_barrier does not firewall it; tile size
+        is irrelevant (rows=8192 e2e 112.9). See benchmarks/README.md.
+    """
     env = os.environ.get('STP3_CONVNEXT', '')
     if env == 'pallas':
         return True
     if env in ('off', 'xla'):
         return False
-    return (_AUTO_DEFAULT and jax.default_backend() == 'tpu'
+    return (train and jax.default_backend() == 'tpu'
             and jax.device_count() == 1)
-
-
-_AUTO_DEFAULT = False
