@@ -65,6 +65,7 @@ class _TickMixin:
     def _setup_core(self, checkpoint_path: str):
         cfg_dict = ckpt_lib.load_config_dict(checkpoint_path)
         cfg = get_cfg(cfg_dict=cfg_dict)
+        cfg.MODEL.REMAT = 'none'  # train-only policy; see evaluate.py
         restored = ckpt_lib.load_checkpoint(checkpoint_path)
         self.cfg = cfg
         self.core = AgentCore(cfg, {'params': restored['params']})

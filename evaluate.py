@@ -42,6 +42,10 @@ def evaluate(checkpoint_path: str, dataroot: str = '', extra_opts=None,
     # eval-time cfg surgery (reference evaluate.py:40-44)
     cfg.BATCHSIZE = 1
     cfg.LIFT.GT_DEPTH = False
+    # remat is a train-only policy: on forward-only traces nn.remat still
+    # changes the compiled program (verified: HLO differs), and only the
+    # remat-free inference program is the one benchmarked/validated.
+    cfg.MODEL.REMAT = 'none'
     if dataroot:
         cfg.DATASET.DATAROOT = dataroot
         cfg.DATASET.MAP_FOLDER = dataroot

@@ -95,7 +95,7 @@ class Decoder(nn.Module):
     planning: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False) -> Dict[str, Optional[jnp.ndarray]]:
+    def __call__(self, x, train: bool = False) -> Dict[str, Optional[jnp.ndarray]]:
         """x: (B, S, H, W, C) -> dict of per-task outputs (channels-last)."""
         if self.predict_future_flow and not self.predict_instance:
             raise ValueError('flow cannot be enabled without instance prediction')

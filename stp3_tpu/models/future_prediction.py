@@ -23,7 +23,7 @@ class FuturePrediction(nn.Module):
     n_res_layers: int = 1
 
     @nn.compact
-    def __call__(self, sample, state, *, train: bool = False):
+    def __call__(self, sample, state, train: bool = False):
         """sample: (B, 1, H, W, latent); state: (B, n_present, H, W, C).
         Returns (B, n_present + n_future, H, W, C)."""
         x = DualGRU(self.latent_dim, self.in_channels, n_future=self.n_future,

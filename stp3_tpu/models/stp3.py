@@ -110,9 +110,13 @@ class STP3Config:
     # its serial scatter loop measured SLOWER end-to-end than XLA's scatter
     # (130 vs 115 ms; see ops/pallas/bev_pool_kernel.py) — opt-in only
     fused_lift_splat: bool = False
-    # rematerialise encoder activations in backward: trades FLOPs for HBM
-    # (SURVEY.md design stance; 18 camera images at b4 dominate activation
-    # memory). 'none' | 'encoder'
+    # rematerialise stage activations in backward: trades FLOPs for HBM
+    # (SURVEY.md design stance). 'none' or a '+'-joined subset of
+    # {encoder, temporal, future, decoder}, e.g. 'encoder+future'.
+    # On-chip verdicts (benchmarks/README.md queue5/queue6): 'encoder'
+    # WINS the train step (479.2 vs 486.7 ms @ batch 2 — the 36 b4
+    # camera images dominate activation memory) and is the train-YAML
+    # default; the other stages are the A/B surface for batch scaling.
     remat: str = 'none'
 
     @classmethod
@@ -195,18 +199,29 @@ class STP3(nn.Module):
                 list(c.x_bound), list(c.y_bound), list(c.z_bound)))
         self.frustum = create_frustum(c.final_dim, c.encoder_downsample, c.d_bound)
 
-        # static_argnums counts (module, x, train) -> train is 2
+        # compositional remat policy: each named stage is wrapped in
+        # nn.remat so its activations are recomputed in the backward
+        # instead of stored. static_argnums counts (module, args...):
+        # the boolean `train` flag must be static or the checkpointed
+        # trace fails on python control flow.
+        remat_tags = set() if c.remat == 'none' else set(c.remat.split('+'))
+        unknown = remat_tags - {'encoder', 'temporal', 'future', 'decoder'}
+        if unknown:
+            raise NotImplementedError(f'MODEL.REMAT stages {sorted(unknown)}')
+
         encoder_cls = (nn.remat(Encoder, static_argnums=(2,))
-                       if c.remat == 'encoder' else Encoder)
+                       if 'encoder' in remat_tags else Encoder)
         self.encoder = encoder_cls(C=c.encoder_out_channels, D=c.depth_channels,
                                    name_backbone=c.encoder_name,
                                    downsample=c.encoder_downsample,
                                    use_depth_distribution=c.use_depth_distribution)
 
+        temporal_cls = (nn.remat(TemporalModel, static_argnums=(2,))
+                        if 'temporal' in remat_tags else TemporalModel)
         if c.temporal_name == 'identity':
             self.temporal_model = TemporalModelIdentity(c.receptive_field)
         elif c.temporal_name == 'temporal_block':
-            self.temporal_model = TemporalModel(
+            self.temporal_model = temporal_cls(
                 receptive_field=c.receptive_field, input_shape=c.bev_size,
                 start_out_channels=c.start_out_channels,
                 extra_in_channels=c.extra_in_channels,
@@ -219,12 +234,16 @@ class STP3(nn.Module):
             if c.probabilistic:
                 self.present_distribution = DistributionModule(
                     latent_dim=c.latent_dim, method=c.prob_method)
-            self.future_prediction = FuturePrediction(
+            future_cls = (nn.remat(FuturePrediction, static_argnums=(3,))
+                          if 'future' in remat_tags else FuturePrediction)
+            self.future_prediction = future_cls(
                 in_channels=c.future_pred_in_channels, latent_dim=c.latent_dim,
                 n_future=c.n_future, mixture=c.mixture,
                 n_gru_blocks=c.n_gru_blocks, n_res_layers=c.n_res_layers)
 
-        self.decoder = Decoder(
+        decoder_cls = (nn.remat(Decoder, static_argnums=(2,))
+                       if 'decoder' in remat_tags else Decoder)
+        self.decoder = decoder_cls(
             n_classes=c.n_classes, n_present=c.receptive_field,
             n_hdmap=c.n_hdmap, predict_pedestrian=c.predict_pedestrian,
             perceive_hdmap=c.perceive_hdmap, predict_instance=c.predict_instance,
@@ -402,7 +421,7 @@ class STP3(nn.Module):
                                            (b, s, h, w, 6))
             x = jnp.concatenate([x, ego_spatial.astype(x.dtype)], axis=-1)
 
-        states = self.temporal_model(x, train=train)
+        states = self.temporal_model(x, train)
 
         if c.n_future > 0:
             present_state = states[:, -1:]
@@ -415,9 +434,9 @@ class STP3(nn.Module):
             else:
                 b, _, h, w, _ = present_state.shape
                 sample = jnp.zeros((b, 1, h, w, c.latent_dim), present_state.dtype)
-            states = self.future_prediction(sample, states, train=train)
+            states = self.future_prediction(sample, states, train)
 
-        bev_output = self.decoder(states, train=train)
+        bev_output = self.decoder(states, train)
         output.update(bev_output)
         return output
 
@@ -548,7 +567,7 @@ class STP3(nn.Module):
                                            (b, s, h, w, 6))
             x = jnp.concatenate([x, ego_spatial.astype(x.dtype)], axis=-1)
 
-        states = self.temporal_model(x, train=train)
+        states = self.temporal_model(x, train)
         if c.n_future > 0:
             present_state = states[:, -1:]
             if c.probabilistic:
@@ -556,8 +575,8 @@ class STP3(nn.Module):
             else:
                 b, _, h, w, _ = present_state.shape
                 sample = jnp.zeros((b, 1, h, w, c.latent_dim), present_state.dtype)
-            states = self.future_prediction(sample, states, train=train)
-        output = self.decoder(states, train=train)
+            states = self.future_prediction(sample, states, train)
+        output = self.decoder(states, train)
         output['cam_front'] = cam_front
 
         seg_pred = output['segmentation'].argmax(-1)

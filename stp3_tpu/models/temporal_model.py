@@ -27,7 +27,7 @@ class TemporalModel(nn.Module):
     use_pyramid_pooling: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         b, s, h, w, c = x.shape
         n_temporal_layers = self.receptive_field - 1
 
@@ -59,5 +59,5 @@ class TemporalModelIdentity(nn.Module):
     receptive_field: int
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         return x

@@ -130,6 +130,45 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4 * lr)
 
 
+def _remat_grads(remat, n_future):
+    cfg = make_test_cfg(BATCHSIZE=2, N_FUTURE_FRAMES=n_future)
+    cfg.PROBABILISTIC.ENABLED = n_future > 0
+    cfg.PLANNING.ENABLED = False
+    cfg.INSTANCE_SEG.ENABLED = False
+    cfg.INSTANCE_FLOW.ENABLED = False
+    cfg.MODEL.REMAT = remat
+    trainloader, _ = prepare_dataloaders(cfg)
+    trainer = Trainer(cfg, mesh=make_mesh(1))
+    rng = jax.random.PRNGKey(0)
+    batch = next(iter(trainloader))
+    state = trainer.init_state(rng, batch)
+    batch = shard_batch(batch, trainer.mesh)
+    (total, _), g = jax.jit(jax.value_and_grad(
+        trainer.loss_fn, has_aux=True))(state.params, batch, rng)
+    return float(total), g
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('remat,n_future', [
+    ('encoder', 0),
+    # the full compositional policy, with futures on so the 'future'
+    # stage is actually traced under remat
+    ('encoder+temporal+future+decoder', 2),
+])
+def test_remat_gradient_parity(remat, n_future):
+    """MODEL.REMAT is pure rematerialisation: loss and gradients must
+    match the no-remat step exactly (same program modulo recompute).
+    Guards the nn.remat(static_argnums) wiring in models/stp3.py — a wrong
+    static_argnums silently changes train/eval behaviour under remat."""
+    ref_total, ref_g = _remat_grads('none', n_future)
+    total, g = _remat_grads(remat, n_future)
+    assert ref_total == pytest.approx(total, rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        ref_g, g)
+
+
 def test_allreduce_host_tree_multiprocess(monkeypatch):
     """allreduce_host_tree sums metric-state pytrees across processes
     (Lightning dist_reduce_fx='sum' equivalent). Single-process JAX cannot
