@@ -54,9 +54,33 @@ def shape_bytes(shape_str: str) -> int:
     return total
 
 
-_INSTR_RE = re.compile(
-    r'^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|\S+)\s+([\w\-]+)\(')
+_NAME_RE = re.compile(r'^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*')
+_OPCODE_RE = re.compile(r'\s*([\w\-]+)\(')
 _OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+
+
+def _parse_instr(line):
+    """Parse `%name = SHAPE opcode(operands...)` -> (name, shape, opcode,
+    end_of_opcode_paren_idx) or None. The shape is scanned with a paren/
+    brace balance (regexes fail on tuple shapes and tiled layouts, both
+    of which nest parens: `(bf16[2]{0:T(8,128)(2,1)}, u32[])`)."""
+    nm = _NAME_RE.match(line)
+    if not nm:
+        return None
+    i, depth = nm.end(), 0
+    while i < len(line):
+        ch = line[i]
+        if ch in '({[':
+            depth += 1
+        elif ch in ')}]':
+            depth -= 1
+        elif ch == ' ' and depth == 0:
+            break
+        i += 1
+    om = _OPCODE_RE.match(line, i)
+    if not om:
+        return None
+    return nm.group(1), line[nm.end():i], om.group(1), om.end()
 
 
 # A computation header sits at column 0: `[ENTRY ]%name (params) -> type {`.
@@ -69,30 +93,65 @@ _SKIP_OPCODES = ('parameter', 'constant', 'tuple', 'get-tuple-element',
                  'bitcast')
 
 
+_OPERAND_RE = re.compile(r'%?([\w.\-]+)')
+
+
+def _inherit_opnames(raw_rows, chain):
+    """Rows whose instruction carries no op_name metadata (late-pass
+    copies, layout-assignment staging, async copy-start/copy-done pairs)
+    inherit the op_name of their first operand, transitively — so a
+    `copy(convolution_add_fusion.8)` is attributed to the stage that
+    produced the convolution instead of '?'. ``chain`` maps EVERY
+    instruction (including get-tuple-element/bitcast links that are not
+    materialized rows themselves) to (op_name, first_operand) so chains
+    survive the skipped glue opcodes."""
+    out = []
+    for name, opcode, b, op, _ in raw_rows:
+        cur = name
+        for _hop in range(16):
+            c_op, c_fo = chain.get(cur, ('', ''))
+            if c_op:
+                op = c_op
+                break
+            if not c_fo:
+                break
+            cur = c_fo
+        out.append((name, opcode, b, op))
+    return out
+
+
 def _iter_computations(hlo_text: str):
     """Yield (comp_name, is_entry, instr_rows) per computation; instr_rows
-    are (instr_name, opcode, out_bytes, op_name)."""
-    comp, is_entry, rows = None, False, []
+    are (instr_name, opcode, out_bytes, op_name) with missing op_names
+    inherited from the producer chain (see _inherit_opnames)."""
+    comp, is_entry, rows, chain = None, False, [], {}
     for line in hlo_text.splitlines():
         if line and not line[0].isspace():
             hm = _COMP_HEADER_RE.match(line)
             if hm:
                 if comp is not None:
-                    yield comp, is_entry, rows
-                comp, is_entry, rows = hm.group(2).lstrip('%'), bool(hm.group(1)), []
+                    yield comp, is_entry, _inherit_opnames(rows, chain)
+                comp, is_entry = hm.group(2).lstrip('%'), bool(hm.group(1))
+                rows, chain = [], {}
             continue
-        m = _INSTR_RE.match(line)
-        if not m or comp is None:
+        parsed = _parse_instr(line)
+        if parsed is None or comp is None:
             continue
-        name, shape, opcode = m.groups()
-        if opcode in _SKIP_OPCODES:
-            continue
+        name, shape, opcode, args_at = parsed
         om = _OPNAME_RE.search(line)
-        yield_row = (name, opcode, shape_bytes(shape),
-                     om.group(1) if om else '')
-        rows.append(yield_row)
+        fom = _OPERAND_RE.match(line[args_at:])
+        op_name = om.group(1) if om else ''
+        first_operand = fom.group(1) if fom else ''
+        if opcode != 'parameter':     # chains must not cross into inputs
+            chain[name] = (op_name, first_operand)
+        # async `-start` halves are skipped: the matching `-done` carries
+        # the materialized output (counting both would double the bytes,
+        # and a start's tuple shape includes its own operands as aliases)
+        if opcode in _SKIP_OPCODES or opcode.endswith('-start'):
+            continue
+        rows.append((name, opcode, shape_bytes(shape), op_name, first_operand))
     if comp is not None:
-        yield comp, is_entry, rows
+        yield comp, is_entry, _inherit_opnames(rows, chain)
 
 
 def audit(hlo_text: str):

@@ -50,6 +50,16 @@ def test_audit_skips_fusion_bodies_and_parameters():
     assert 'decoder' in by_name['copy.1'][3]
 
 
+def test_audit_inherits_opname_from_producer_chain():
+    """Metadata-less late-pass ops (tuple.out = copy(fusion.1) above)
+    must be attributed to their producer's stage, not '?' — this is what
+    keeps the per-stage write tables honest when layout assignment
+    inserts copies after metadata is assigned."""
+    by_name = {r[0]: r for r in audit(_HLO)}
+    assert 'future_prediction' in by_name['tuple.out'][3]
+    assert stage_of(by_name['tuple.out'][3]) == 'future_prediction'
+
+
 _HLO_TUPLES = '''
 HloModule jit_loop
 
