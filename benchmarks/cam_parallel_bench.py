@@ -1,0 +1,105 @@
+"""Camera-parallel serving latency over a k-chip ICI mesh.
+
+Measures the flagship forward+plan step with the encoder+lift+splat front
+sharded over cameras (stp3_tpu/parallel/serving.py) at the largest shard
+count the visible devices allow (6 cams -> k in {6, 3, 2, 1}). k=1
+degenerates to the single-chip bench.py path and serves as the baseline
+row on a one-chip host; the speedup rows need a real multi-chip host —
+THIS environment has one tunneled v5e, so only the k=1 row is measurable
+here (parity of the sharded path is covered by tests/test_cam_parallel.py
+on an 8-device virtual CPU mesh).
+
+Run: python benchmarks/cam_parallel_bench.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from __graft_entry__ import (_flagship_cfg, _init_flagship,  # noqa: E402
+                             _planning_extras)
+from stp3_tpu.models.stp3 import STP3, STP3Config  # noqa: E402
+from stp3_tpu.parallel.serving import (cam_mesh,  # noqa: E402
+                                       make_cam_parallel_forward)
+from stp3_tpu.utils.precision import cast_floating, policy_dtype  # noqa: E402
+
+
+def main():
+    cfg = _flagship_cfg()
+    mc = STP3Config.from_cfg(cfg)
+    model = STP3(mc)
+    variables, (image, k, e, ego), extras = _init_flagship(
+        model, cfg, _planning_extras)
+    trajs, gt = extras['trajs'], extras['gt_trajs']
+    commands, target = extras['commands'], extras['target_points']
+
+    dt = policy_dtype(cfg)
+    variables = cast_floating(variables, dt)
+    image = image.astype(dt)
+    trajs = trajs.astype(dt)
+    gt = gt.astype(dt)
+    target = target.astype(dt)
+
+    n_cams = image.shape[2]
+    n_dev = len(jax.devices())
+    shards = max(s for s in (6, 3, 2, 1) if n_cams % s == 0 and s <= n_dev)
+    if shards < n_cams:
+        print(f'# {n_dev} device(s) visible: measuring k={shards} '
+              f'(k={n_cams} needs {n_cams} chips)', file=sys.stderr)
+
+    forward = make_cam_parallel_forward(model, cam_mesh(shards))
+
+    @jax.jit
+    def plan_step(variables, image, k, e, ego, carry):
+        # serial carry between iterations: the tunneled backend's
+        # block_until_ready is unreliable, so the only honest clock is a
+        # data-dependence chain + one final host readback (bench.py)
+        img = image + carry * 0.0
+        out = forward(variables, img, k, e, ego)
+        rf = mc.receptive_field
+        seg_pred = out['segmentation'].argmax(-1)
+        ped_pred = out['pedestrian'].argmax(-1)
+        occupancy = jnp.logical_or(seg_pred, ped_pred).astype(jnp.float32)
+        _, traj = model.apply(variables, out['cam_front'], trajs, gt,
+                              out['costvolume'][:, rf:], occupancy[:, rf:],
+                              out['hdmap'], commands, target,
+                              train=False, method=STP3.plan)
+        return traj, traj[0, 0, 0]
+
+    carry = jnp.zeros((), dt)
+    traj, carry = plan_step(variables, image, k, e, ego, carry)
+    float(carry)  # compile + warmup
+
+    def run_chain(n):
+        c = jnp.zeros((), dt)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _, c = plan_step(variables, image, k, e, ego, c)
+        float(c)
+        return (time.perf_counter() - t0) / n * 1000.0
+
+    reps = [run_chain(5) for _ in range(5)]
+    p50 = float(np.percentile(reps, 50))
+    print(json.dumps({
+        'metric': f'cam_parallel_6cam_plan_latency_p50_k{shards}',
+        'value': round(p50, 2),
+        'unit': 'ms',
+        'vs_baseline': round(100.0 / p50, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

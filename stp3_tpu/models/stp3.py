@@ -408,6 +408,18 @@ class STP3(nn.Module):
 
         x, depth, cam_front = self.calculate_birds_eye_view_features(
             image, intrinsics, extrinsics, ego, train=train)
+        return self.forward_from_bev(x, depth, cam_front, ego, train)
+
+    def forward_from_bev(self, x, depth, cam_front, ego,
+                         train: bool = False):
+        """The post-splat forward: egopose concat -> temporal ->
+        distribution/future -> decode. Split out of ``__call__`` as the
+        replicated tail of the camera-parallel serving path
+        (parallel/serving.py), which computes the BEV features x with the
+        encoder+lift+splat sharded over cameras. x (B, rf, nx, ny, C);
+        ego already sliced to the receptive field."""
+        c = self.cfg
+        rf = c.receptive_field
         output = {'depth_prediction': depth, 'cam_front': cam_front}
 
         if c.input_egopose:

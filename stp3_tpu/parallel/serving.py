@@ -1,0 +1,167 @@
+"""Camera-parallel latency sharding for the full-recompute serving path.
+
+The reference has no multi-GPU inference story at all (its serving is one
+model per process, carla_agent.py); this module is TPU-native scaling
+machinery: when more than one chip is available, the front of the network
+— per-camera EfficientNet encode, depth⊗context lift, and BEV splat,
+together ~31 ms of the 84 ms single-chip flagship forward
+(benchmarks/README.md stage split) — is embarrassingly parallel over the
+6 cameras. We shard it over an ICI mesh axis ``'cam'`` with
+``jax.shard_map``:
+
+  * each shard encodes and lifts its ``6/k`` cameras and splats them into
+    a FULL (200,200,C) grid — the splat scatter-add is linear over
+    cameras, and the ego-motion pre-warp + exponential discount
+    accumulate are per-frame (camera-independent) linear maps, so the
+    per-shard partial grids sum EXACTLY to the single-device result;
+  * one ``psum`` over 'cam' merges the partials (rf x 200x200x64 bf16
+    ≈ 15 MB over ICI — sub-ms at v5e's 186 GB/s ICI per link);
+  * the front-camera context feature the planner needs is selected with
+    a global one-hot mask + the same psum (the owning shard contributes
+    the feature, the rest zeros);
+  * the tail (temporal model -> future prediction -> decoder -> planner)
+    is replicated: every chip runs it on the merged grid, so its latency
+    is unchanged and no further collectives are needed.
+
+Parity is exact by construction (float reassociation of the scatter sums
+aside) and is asserted against the single-device forward in
+tests/test_cam_parallel.py on a CPU mesh. Projected flagship latency at
+k=3 (2 cams/shard): ~84 - 31*(1-1/3) ≈ 63 ms; at k=6: ~58 ms. NOT
+measurable in this environment (one physical chip) — the numbers above
+are stage-split arithmetic, not measurements; run
+``benchmarks/cam_parallel_bench.py`` on a real multi-chip host.
+
+The TRAINING analogue of this module is ordinary data parallelism
+(parallel/mesh.py) — at batch >= 2 sharding the batch is strictly better
+than sharding cameras (no psum inside the step). This module exists for
+the batch=1 latency-critical closed-loop case.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stp3_tpu.models.stp3 import STP3
+from stp3_tpu.ops.bev_pool import project_to_birds_eye_view
+from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
+                                   create_frustum, get_geometry)
+
+
+def cam_mesh(n_shards: int, devices=None) -> Mesh:
+    """1-D mesh over the camera axis. n_shards must divide the camera
+    count (6 -> 1, 2, 3 or 6 shards)."""
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) < n_shards:
+        raise ValueError(f'need {n_shards} devices, have {len(devices)}')
+    return Mesh(np.asarray(devices[:n_shards]), ('cam',))
+
+
+def make_cam_parallel_forward(model: STP3, mesh: Mesh):
+    """Build ``fn(variables, image, K, E, ego) -> output dict`` equal to
+    ``model.apply(variables, image, K, E, ego, train=False)`` but with the
+    encoder+lift+splat sharded over mesh axis 'cam'.
+
+    image (B, S, N, H, W, 3) with N % mesh.shape['cam'] == 0; the returned
+    function is jitted over the mesh.
+    """
+    c = model.cfg
+    n_shards = mesh.shape['cam']
+    frustum = create_frustum(c.final_dim, c.encoder_downsample, c.d_bound)
+    res, start, dim = calculate_birds_eye_view_parameters(
+        list(c.x_bound), list(c.y_bound), list(c.z_bound))
+
+    def _front(variables, image, intrinsics, extrinsics, ego):
+        # SHARD-LOCAL shapes: image (B, S, nl, H, W, 3), nl = N / n_shards
+        b, s, nl = image.shape[:3]
+        flat = image.reshape(b * s * nl, *image.shape[3:])
+        feat, depth = model.apply(variables, flat, False,
+                                  method=lambda m, x, t: m.encoder(x, t))
+        feat = feat.reshape(b, s, nl, *feat.shape[1:])      # (B,S,nl,Hf,Wf,C)
+
+        cam_front = None
+        if c.planning_enabled:
+            # the front camera is ONE global index: the owning shard
+            # contributes its present-frame context feature, others zeros
+            gidx = lax.axis_index('cam') * nl + jnp.arange(nl)
+            mask = (gidx == c.cam_front_index).astype(feat.dtype)
+            cam_front = lax.psum(
+                jnp.einsum('n,bnhwc->bhwc', mask, feat[:, -1]), 'cam')
+
+        if c.use_depth_distribution:
+            depth = depth.reshape(b, s, nl, *depth.shape[1:])  # (B,S,nl,Hf,Wf,D)
+            dp = jax.nn.softmax(depth, axis=-1)
+            # depth ⊗ context outer product, as models/stp3.py encoder_forward
+            lifted = jnp.moveaxis(dp, -1, 3)[..., None] * feat[:, :, :, None]
+        else:
+            d = c.depth_channels
+            lifted = jnp.broadcast_to(
+                feat[:, :, :, None], (b, s, nl, d) + feat.shape[3:])
+            depth = None
+
+        geometry = get_geometry(jnp.asarray(frustum), intrinsics, extrinsics)
+        x = project_to_birds_eye_view(
+            lifted, geometry, ego, res, start, dim, discount=c.discount)
+        # scatter-add is linear over cameras; partial grids sum exactly
+        x = lax.psum(x, 'cam')
+        return x, depth, cam_front
+
+    front = jax.shard_map(
+        _front, mesh=mesh,
+        in_specs=(P(), P(None, None, 'cam'), P(None, None, 'cam'),
+                  P(None, None, 'cam'), P()),
+        out_specs=(P(), P(None, None, 'cam'), P()),
+        check_vma=False)  # psum-merged outputs; the splat may be a pallas
+    #                       custom call whose replication the checker
+    #                       cannot see through
+
+    # replicated boundary sharding: accept arrays committed to any single
+    # device (e.g. __graft_entry__._init_flagship puts them on devices[0])
+    # and let jit reshard them onto the mesh; the camera split happens
+    # inside the shard_map
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=rep)
+    def forward(variables, image, intrinsics, extrinsics, ego):
+        rf = c.receptive_field
+        image, intrinsics = image[:, :rf], intrinsics[:, :rf]
+        extrinsics, ego = extrinsics[:, :rf], ego[:, :rf]
+        if image.shape[2] % n_shards:
+            raise ValueError(f'{image.shape[2]} cameras do not split over '
+                             f'{n_shards} shards')
+        x, depth, cam_front = front(variables, image, intrinsics,
+                                    extrinsics, ego)
+        return model.apply(variables, x, depth, cam_front, ego,
+                           False, method=STP3.forward_from_bev,
+                           rngs=None)
+
+    return forward
+
+
+def make_cam_parallel_plan_step(model: STP3, mesh: Mesh):
+    """The bench.py plan_step (forward -> occupancy -> planner) with the
+    camera-parallel forward: ``fn(variables, image, K, E, ego, trajs,
+    gt_trajs, commands, target_points) -> refined traj``."""
+    c = model.cfg
+    forward = make_cam_parallel_forward(model, mesh)
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=rep)
+    def plan_step(variables, image, intrinsics, extrinsics, ego,
+                  trajs, gt_trajs, commands, target_points):
+        out = forward(variables, image, intrinsics, extrinsics, ego)
+        rf = c.receptive_field
+        seg_pred = out['segmentation'].argmax(-1)
+        ped_pred = out['pedestrian'].argmax(-1)
+        occupancy = jnp.logical_or(seg_pred, ped_pred).astype(jnp.float32)
+        _, traj = model.apply(variables, out['cam_front'], trajs, gt_trajs,
+                              out['costvolume'][:, rf:], occupancy[:, rf:],
+                              out['hdmap'], commands, target_points,
+                              train=False, method=STP3.plan)
+        return traj
+
+    return plan_step

@@ -1,0 +1,95 @@
+"""Camera-parallel serving (parallel/serving.py): the shard_map'd
+encoder+lift+splat front + psum must reproduce the single-device forward
+exactly (splat scatter-add is linear over cameras; only float
+reassociation differs). Runs on the CPU virtual-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import make_test_cfg
+from stp3_tpu.models.stp3 import STP3, STP3Config
+from stp3_tpu.parallel.serving import (cam_mesh, make_cam_parallel_forward,
+                                       make_cam_parallel_plan_step)
+from test_model import _inputs
+
+
+def _plan_inputs(cfg, seed=1):
+    rng = np.random.RandomState(seed)
+    trajs = jnp.asarray(rng.randn(1, cfg.PLANNING.SAMPLE_NUM,
+                                  cfg.N_FUTURE_FRAMES, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randn(1, cfg.N_FUTURE_FRAMES, 3).astype(np.float32))
+    commands = jnp.zeros((1,), jnp.int32)
+    target = jnp.zeros((1, 2), jnp.float32)
+    return trajs, gt, commands, target
+
+
+def _build(cfg):
+    mc = STP3Config.from_cfg(cfg)
+    model = STP3(mc)
+    img, K, E, ego = _inputs(cfg)
+    trajs, gt, commands, target = _plan_inputs(cfg)
+    variables = model.init(jax.random.PRNGKey(0), img, K, E, ego,
+                           trajs=trajs, gt_trajs=gt, commands=commands,
+                           target_points=target, method=STP3.init_full)
+    return model, variables, (img, K, E, ego)
+
+
+def test_cam_parallel_forward_matches_single_device():
+    cfg = make_test_cfg()
+    model, variables, (img, K, E, ego) = _build(cfg)
+    ref = model.apply(variables, img, K, E, ego, train=False)
+
+    mesh = cam_mesh(2)   # 2 cameras -> 1 per shard
+    fn = make_cam_parallel_forward(model, mesh)
+    out = fn(variables, img, K, E, ego)
+
+    assert set(out.keys()) == set(ref.keys())
+    # per-camera outputs take no cross-camera reduction, but the encoder
+    # sees a different flattened batch (B*S*nl vs B*S*N) so conv
+    # reassociation shifts the last float bits
+    np.testing.assert_allclose(np.asarray(out['depth_prediction']),
+                               np.asarray(ref['depth_prediction']),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out['cam_front']),
+                               np.asarray(ref['cam_front']),
+                               rtol=1e-5, atol=1e-5)
+    # everything downstream of the psum'd splat: float-reassociation only
+    for key in ('segmentation', 'pedestrian', 'hdmap', 'instance_center',
+                'instance_offset', 'instance_flow', 'costvolume'):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]),
+            rtol=1e-4, atol=2e-4, err_msg=key)
+
+
+def test_cam_parallel_plan_step_matches_single_device():
+    cfg = make_test_cfg()
+    model, variables, (img, K, E, ego) = _build(cfg)
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    rng = np.random.RandomState(1)
+    trajs = jnp.asarray(rng.randn(1, cfg.PLANNING.SAMPLE_NUM,
+                                  cfg.N_FUTURE_FRAMES, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randn(1, cfg.N_FUTURE_FRAMES, 3).astype(np.float32))
+    commands = jnp.zeros((1,), jnp.int32)
+    target = jnp.zeros((1, 2), jnp.float32)
+
+    out = model.apply(variables, img, K, E, ego, train=False)
+    occupancy = jnp.logical_or(out['segmentation'].argmax(-1),
+                               out['pedestrian'].argmax(-1)).astype(jnp.float32)
+    _, ref_traj = model.apply(variables, out['cam_front'], trajs, gt,
+                              out['costvolume'][:, rf:], occupancy[:, rf:],
+                              out['hdmap'], commands, target,
+                              train=False, method=STP3.plan)
+
+    step = make_cam_parallel_plan_step(model, cam_mesh(2))
+    traj = step(variables, img, K, E, ego, trajs, gt, commands, target)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(ref_traj),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_cam_parallel_rejects_indivisible_split():
+    cfg = make_test_cfg()
+    model, variables, (img, K, E, ego) = _build(cfg)
+    fn = make_cam_parallel_forward(model, cam_mesh(3))  # 2 cams / 3 shards
+    with pytest.raises(ValueError, match='do not split'):
+        fn(variables, img, K, E, ego)
