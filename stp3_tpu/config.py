@@ -259,8 +259,10 @@ def _defaults() -> CfgNode:
     _C.PROFILE.DIR = ''            # default: <run_dir>/profile
     _C.PROFILE.STEPS = 5
 
-    # activation rematerialisation: trade FLOPs for HBM at train time
-    # ('none' | 'encoder')
+    # activation rematerialisation: trade FLOPs for HBM at train time.
+    # 'none', or '+'-joined stage tags from {encoder, temporal, future,
+    # decoder, cells}; 'cells' checkpoints each GRU cell (step-local
+    # recompute) instead of the whole future stage.
     _C.MODEL.REMAT = 'none'
 
     return _C

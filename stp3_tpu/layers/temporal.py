@@ -150,6 +150,13 @@ class SpatialGRU(nn.Module):
     input_size: int
     hidden_size: int
     gru_bias_init: float = 0.0
+    # MODEL.REMAT tag 'cells': checkpoint each cell invocation so the
+    # backward recomputes the gate convs step-LOCALLY from the saved
+    # (x_t, h_{t-1}) instead of storing every gate tensor. Unlike
+    # rematting the whole rollout ('future' — a measured LOSS, queue6:
+    # 549.9 vs 479.2 ms, the recompute re-runs the serial chain), the
+    # per-step states stay saved, so no serial recompute happens.
+    remat_cells: bool = False
 
     @nn.compact
     def __call__(self, x, state: Optional[jnp.ndarray] = None):
@@ -158,7 +165,8 @@ class SpatialGRU(nn.Module):
             state = jnp.zeros((b, h, w, self.hidden_size), x.dtype)
         decoder = nn.Conv(self.input_size, (1, 1), use_bias=False, name='decoder')
 
-        cell = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell')
+        cell_cls = nn.remat(ConvGRUCell) if self.remat_cells else ConvGRUCell
+        cell = cell_cls(self.hidden_size, self.gru_bias_init, name='cell')
         # UNROLLED python loop, not nn.scan: T <= 9 here, and the scan's
         # per-step dynamic slice/stack costs more than it saves — measured
         # 17.0 -> 5.7 ms for one standalone 9-step pass at (200,200,64) on
@@ -185,6 +193,7 @@ class DualGRU(nn.Module):
     n_future: int
     mixture: bool = True
     gru_bias_init: float = 0.0
+    remat_cells: bool = False  # see SpatialGRU.remat_cells
 
     @nn.compact
     def __call__(self, x, state):
@@ -193,9 +202,13 @@ class DualGRU(nn.Module):
         n_present = state.shape[1]
         # cell 1's input is the SAME latent sample every step -> hoist its
         # conv contributions out of the serial rollout (_LatentGRUCell)
-        cell1 = _LatentGRUCell(self.hidden_size, self.input_size,
-                               self.gru_bias_init, name='cell1')
-        cell2 = ConvGRUCell(self.hidden_size, self.gru_bias_init, name='cell2')
+        cell1_cls = (nn.remat(_LatentGRUCell) if self.remat_cells
+                     else _LatentGRUCell)  # remat wraps __call__ only;
+        #                                    x_maps (hoisted) stays plain
+        cell2_cls = nn.remat(ConvGRUCell) if self.remat_cells else ConvGRUCell
+        cell1 = cell1_cls(self.hidden_size, self.input_size,
+                          self.gru_bias_init, name='cell1')
+        cell2 = cell2_cls(self.hidden_size, self.gru_bias_init, name='cell2')
         decoder2 = nn.Conv(self.hidden_size, (3, 3), padding='SAME', name='decoder2')
         trust = nn.Sequential([Bottleblock(self.hidden_size),
                                nn.Conv(2, (1, 1), use_bias=False)], name='trusting_gate')

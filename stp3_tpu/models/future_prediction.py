@@ -21,13 +21,17 @@ class FuturePrediction(nn.Module):
     mixture: bool = True
     n_gru_blocks: int = 2
     n_res_layers: int = 1
+    # MODEL.REMAT tag 'cells': per-GRU-cell checkpointing (see
+    # layers/temporal.py SpatialGRU.remat_cells)
+    remat_cells: bool = False
 
     @nn.compact
     def __call__(self, sample, state, train: bool = False):
         """sample: (B, 1, H, W, latent); state: (B, n_present, H, W, C).
         Returns (B, n_present + n_future, H, W, C)."""
         x = DualGRU(self.latent_dim, self.in_channels, n_future=self.n_future,
-                    mixture=self.mixture)(sample, state)
+                    mixture=self.mixture,
+                    remat_cells=self.remat_cells)(sample, state)
 
         b, nf, h, w, c = x.shape
         flat = x.reshape(b * nf, h, w, c)
@@ -39,8 +43,8 @@ class FuturePrediction(nn.Module):
 
         hidden_state = x[:, 0]
         for i in range(self.n_gru_blocks):
-            x = SpatialGRU(self.in_channels,
-                           self.in_channels)(x, hidden_state)
+            x = SpatialGRU(self.in_channels, self.in_channels,
+                           remat_cells=self.remat_cells)(x, hidden_state)
             b2, s2, h2, w2, c2 = x.shape
             flat = x.reshape(b2 * s2, h2, w2, c2)
             if i < self.n_gru_blocks - 1:

@@ -205,7 +205,8 @@ class STP3(nn.Module):
         # the boolean `train` flag must be static or the checkpointed
         # trace fails on python control flow.
         remat_tags = set() if c.remat == 'none' else set(c.remat.split('+'))
-        unknown = remat_tags - {'encoder', 'temporal', 'future', 'decoder'}
+        unknown = remat_tags - {'encoder', 'temporal', 'future', 'decoder',
+                                'cells'}
         if unknown:
             raise NotImplementedError(f'MODEL.REMAT stages {sorted(unknown)}')
 
@@ -236,10 +237,14 @@ class STP3(nn.Module):
                     latent_dim=c.latent_dim, method=c.prob_method)
             future_cls = (nn.remat(FuturePrediction, static_argnums=(3,))
                           if 'future' in remat_tags else FuturePrediction)
+            # 'cells': checkpoint each GRU cell instead of (or inside)
+            # the whole stage — recompute is step-local, so the serial
+            # rollout is NOT re-run (the queue6 failure mode of 'future')
             self.future_prediction = future_cls(
                 in_channels=c.future_pred_in_channels, latent_dim=c.latent_dim,
                 n_future=c.n_future, mixture=c.mixture,
-                n_gru_blocks=c.n_gru_blocks, n_res_layers=c.n_res_layers)
+                n_gru_blocks=c.n_gru_blocks, n_res_layers=c.n_res_layers,
+                remat_cells='cells' in remat_tags)
 
         decoder_cls = (nn.remat(Decoder, static_argnums=(2,))
                        if 'decoder' in remat_tags else Decoder)

@@ -154,6 +154,9 @@ def _remat_grads(remat, n_future):
     # the full compositional policy, with futures on so the 'future'
     # stage is actually traced under remat
     ('encoder+temporal+future+decoder', 2),
+    # per-GRU-cell checkpointing (step-local recompute) composed with
+    # the winning encoder stage remat
+    ('encoder+cells', 2),
 ])
 def test_remat_gradient_parity(remat, n_future):
     """MODEL.REMAT is pure rematerialisation: loss and gradients must
