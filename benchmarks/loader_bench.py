@@ -1,7 +1,7 @@
 """Input-pipeline throughput: samples/s of NumpyLoader over the nuScenes
 backend (fake devkit — same python-side work as real data minus JPEG
 disk reads: fillPoly rasters, map masks, trajectory sampling, label
-assembly), thread pool vs fork process pool vs serial.
+assembly), thread pool vs spawn process pool vs serial.
 
 Pass/fail context: the flagship train step consumes 4.2 samples/s
 (476.6 ms @ batch 2, benchmarks/README.md); the loader must sustain

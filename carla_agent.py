@@ -68,7 +68,12 @@ class _TickMixin:
         cfg.MODEL.REMAT = 'none'  # train-only policy; see evaluate.py
         restored = ckpt_lib.load_checkpoint(checkpoint_path)
         self.cfg = cfg
-        self.core = AgentCore(cfg, {'params': restored['params']})
+        variables = {'params': restored['params']}
+        if restored.get('batch_stats') is not None:
+            # MODEL.NORM='bn' checkpoints carry running stats that every
+            # Norm(kind='bn') site reads at inference (as evaluate.py)
+            variables['batch_stats'] = restored['batch_stats']
+        self.core = AgentCore(cfg, variables)
         self.save_path = None
         if SAVE_PATH is not None:
             now = datetime.datetime.now()

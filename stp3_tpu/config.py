@@ -111,8 +111,10 @@ def _defaults() -> CfgNode:
 
     _C.N_WORKERS = 5
     # loader worker kind: 'thread' (zero IPC; GIL-releasing sample work) or
-    # 'process' (fork pool, the reference's DataLoader workers — right when
-    # per-sample python overhead is GIL-bound). benchmarks/loader_bench.py.
+    # 'process' (SPAWN pool — forking deadlocks under live JAX runtime
+    # threads, see datas/synthetic.py NumpyLoader — the reference's
+    # DataLoader-workers equivalent, right when per-sample python overhead
+    # is GIL-bound). benchmarks/loader_bench.py.
     _C.WORKER_KIND = 'thread'
     _C.VIS_INTERVAL = 5000
     _C.LOGGING_INTERVAL = 500

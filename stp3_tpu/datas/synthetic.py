@@ -307,8 +307,9 @@ class NumpyLoader:
 
             pending = []
             it = iter(batches)
-            # keep `prefetch` batches in flight
-            for _ in range(self.prefetch):
+            # keep `prefetch` batches in flight (>=1 or the while loop
+            # below never starts and the epoch silently yields nothing)
+            for _ in range(max(self.prefetch, 1)):
                 chunk = next(it, None)
                 if chunk is not None:
                     pending.append(pool.submit(load, chunk))
@@ -320,7 +321,7 @@ class NumpyLoader:
                 yield fut.result()
 
     def _iter_processes(self, batches):
-        """Per-SAMPLE fan-out over the fork pool (a whole batch per task
+        """Per-SAMPLE fan-out over the spawn pool (a whole batch per task
         would serialise its samples in one worker), batches re-assembled
         in order with `prefetch` batches of samples in flight."""
         pool = self._proc_pool()

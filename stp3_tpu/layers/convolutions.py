@@ -457,27 +457,32 @@ class ConvNeXtBlock(nn.Module):
         ln = nn.LayerNorm(epsilon=1e-6)
         d1 = nn.Dense(4 * dim)
         d2 = nn.Dense(dim)
-        assert self.layer_scale_init_value > 0, 'gamma is part of the param contract'
-        gamma = self.param('gamma', nn.initializers.constant(
-            self.layer_scale_init_value), (dim,))
+        # layer_scale <= 0 disables gamma, matching the reference
+        # (convolutions.py:330: `if layer_scale_init_value > 0 else None`)
+        gamma = (self.param('gamma', nn.initializers.constant(
+                     self.layer_scale_init_value), (dim,))
+                 if self.layer_scale_init_value > 0 else None)
 
         if use_fused_convnext(train) and not self.is_initializing():
             # read the (already-initialized) submodule params directly; the
             # flax modules above exist so both paths share one param tree
             p = self.variables['params']
             lead = h.shape[:-1]
+            g = gamma if gamma is not None else jnp.ones((dim,), h.dtype)
             out = convnext_mlp_pallas(
                 h.reshape(-1, dim), x.reshape(-1, dim),
                 p['LayerNorm_0']['scale'], p['LayerNorm_0']['bias'],
                 p['Dense_0']['kernel'], p['Dense_0']['bias'],
-                p['Dense_1']['kernel'], p['Dense_1']['bias'], gamma)
+                p['Dense_1']['kernel'], p['Dense_1']['bias'], g)
             return out.reshape(*lead, dim)
 
         h = ln(h)
         h = d1(h)
         h = gelu(h)
         h = d2(h)
-        return x + gamma * h
+        if gamma is not None:
+            h = gamma * h
+        return x + h
 
 
 class Bottleblock(nn.Module):

@@ -189,6 +189,23 @@ class STP3Config:
             self.start_out_channels, self.receptive_field, self.extra_in_channels)
 
 
+def lift_depth_context(feat: jnp.ndarray, depth_logits: jnp.ndarray) -> jnp.ndarray:
+    """LSS lift: softmax over D depth bins ⊗ per-pixel context feature
+    (reference stp3.py:214-218). feat (..., Hf, Wf, C), depth_logits
+    (..., Hf, Wf, D) -> (..., D, Hf, Wf, C). One definition shared by
+    ``STP3.encoder_forward`` and the camera-parallel serving front
+    (parallel/serving.py), so the lift math cannot drift between them."""
+    depth_prob = jax.nn.softmax(depth_logits, axis=-1)
+    return jnp.moveaxis(depth_prob, -1, -3)[..., None] * feat[..., None, :, :, :]
+
+
+def lift_uniform(feat: jnp.ndarray, depth_channels: int) -> jnp.ndarray:
+    """USE_DEPTH_DISTRIBUTION=False: repeat the context across the D bins
+    (reference stp3.py:219-222). feat (..., Hf, Wf, C) -> (..., D, Hf, Wf, C)."""
+    return jnp.broadcast_to(feat[..., None, :, :, :],
+                            feat.shape[:-3] + (depth_channels,) + feat.shape[-3:])
+
+
 class STP3(nn.Module):
     cfg: STP3Config
 
@@ -290,14 +307,9 @@ class STP3(nn.Module):
 
         if self.cfg.use_depth_distribution:
             depth = depth.reshape(bs, n, *depth.shape[1:])      # (BS,N,Hf,Wf,D)
-            depth_prob = jax.nn.softmax(depth, axis=-1)
-            # outer product depth x context: (BS,N,D,Hf,Wf,C)
-            lifted = (jnp.moveaxis(depth_prob, -1, 2)[..., None]
-                      * feat[:, :, None])
+            lifted = lift_depth_context(feat, depth)            # (BS,N,D,Hf,Wf,C)
         else:
-            d = self.cfg.depth_channels
-            lifted = jnp.broadcast_to(feat[:, :, None],
-                                      (bs, n, d) + feat.shape[2:])
+            lifted = lift_uniform(feat, self.cfg.depth_channels)
             depth = None
         return lifted, depth, cam_front
 
@@ -314,9 +326,12 @@ class STP3(nn.Module):
         geometry = get_geometry(jnp.asarray(self.frustum), intrinsics, extrinsics)
         # (B,S,N,D,Hf,Wf,3)
 
+        # single-device TPU only: the fused kernel is a pallas custom call
+        # with no GSPMD partitioning rule (ops/pallas/gating.py)
+        from stp3_tpu.ops.pallas.gating import single_device_tpu
         use_fused = (self.cfg.fused_lift_splat
                      and self.cfg.use_depth_distribution
-                     and jax.default_backend() == 'tpu')
+                     and single_device_tpu())
         if use_fused:
             flat = image.reshape(b * s * n, *image.shape[3:])
             feat, depth = self.encoder(flat, train)

@@ -262,15 +262,13 @@ def project_to_birds_eye_view(feats: jnp.ndarray, geometry: jnp.ndarray,
         # pipelined pallas_call) beats per-frame launches on-chip:
         # e2e 83.2 vs 84.2 ms at batch 1, batch-8 throughput 18.1 vs
         # 17.6 frames/s (A/B'd round 2, /tmp/tpu_queue logs). Everywhere
-        # else fall back to XLA's scatter: pallas_call neither runs on
-        # CPU (tests, multichip dryrun) nor partitions under GSPMD
-        # (sharded multi-chip training). The round-1 v1 kernel that LOST
-        # end-to-end (133 vs 114 ms) staged feats to fp32 in HBM and
-        # branched per point; v2 fixes both.
-        if jax.default_backend() == 'tpu' and jax.device_count() == 1:
-            method = 'pallas2b'
-        else:
-            method = 'scatter'
+        # else fall back to XLA's scatter (see ops/pallas/gating.py for
+        # the single-device-TPU rationale; shard_map call sites like
+        # parallel/serving.py pass an explicit method instead). The
+        # round-1 v1 kernel that LOST end-to-end (133 vs 114 ms) staged
+        # feats to fp32 in HBM and branched per point; v2 fixes both.
+        from stp3_tpu.ops.pallas.gating import single_device_tpu
+        method = 'pallas2b' if single_device_tpu() else 'scatter'
     return _project_impl(feats, geometry, future_egomotion,
                          jnp.asarray(bev_resolution), jnp.asarray(bev_start_position),
                          bev_dim_t, float(discount), method)

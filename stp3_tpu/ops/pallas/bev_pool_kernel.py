@@ -27,7 +27,6 @@ vmaps — batch via a static python loop.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -184,12 +183,8 @@ def _use_pallas_bwd() -> bool:
     index-bound just like its scatter. Auto ON on a single-device TPU
     (where the pallas forward runs anyway); STP3_SPLAT_BWD=xla/off forces
     the XLA gather, =pallas forces the kernel (e.g. interpret-mode tests)."""
-    env = os.environ.get('STP3_SPLAT_BWD', '')
-    if env == 'pallas':
-        return True
-    if env in ('off', 'xla'):
-        return False
-    return jax.default_backend() == 'tpu' and jax.device_count() == 1
+    from stp3_tpu.ops.pallas.gating import single_tpu_auto
+    return single_tpu_auto('STP3_SPLAT_BWD')
 
 
 def _bwd_v2(ncells, ranks, g):

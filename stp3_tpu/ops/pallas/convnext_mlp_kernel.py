@@ -164,10 +164,5 @@ def use_fused_convnext(train: bool = False) -> bool:
         ~3x slower. optimization_barrier does not firewall it; tile size
         is irrelevant (rows=8192 e2e 112.9). See benchmarks/README.md.
     """
-    env = os.environ.get('STP3_CONVNEXT', '')
-    if env == 'pallas':
-        return True
-    if env in ('off', 'xla'):
-        return False
-    return (train and jax.default_backend() == 'tpu'
-            and jax.device_count() == 1)
+    from stp3_tpu.ops.pallas.gating import single_tpu_auto
+    return single_tpu_auto('STP3_CONVNEXT', auto=train)

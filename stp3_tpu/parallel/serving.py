@@ -38,6 +38,7 @@ the batch=1 latency-critical closed-loop case.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -46,10 +47,24 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from stp3_tpu.models.stp3 import STP3
+from stp3_tpu.models.stp3 import STP3, lift_depth_context, lift_uniform
 from stp3_tpu.ops.bev_pool import project_to_birds_eye_view
 from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
                                    create_frustum, get_geometry)
+
+
+def _shard_splat_method() -> str:
+    """Splat method for the per-shard program. bev_pool's 'auto' keys on
+    ``jax.device_count() == 1`` (pallas custom calls have no GSPMD
+    partitioning rule), but inside shard_map each shard is a manual
+    single-device program where the pallas kernel IS valid — relying on
+    'auto' would silently drop to the ~2x-slower XLA scatter on exactly
+    the multi-chip hosts this module targets. Honors the same
+    STP3_SPLAT_METHOD env hatch as bev_pool."""
+    env = os.environ.get('STP3_SPLAT_METHOD', '')
+    if env:
+        return env
+    return 'pallas2b' if jax.default_backend() == 'tpu' else 'scatter'
 
 
 def cam_mesh(n_shards: int, devices=None) -> Mesh:
@@ -94,18 +109,15 @@ def make_cam_parallel_forward(model: STP3, mesh: Mesh):
 
         if c.use_depth_distribution:
             depth = depth.reshape(b, s, nl, *depth.shape[1:])  # (B,S,nl,Hf,Wf,D)
-            dp = jax.nn.softmax(depth, axis=-1)
-            # depth ⊗ context outer product, as models/stp3.py encoder_forward
-            lifted = jnp.moveaxis(dp, -1, 3)[..., None] * feat[:, :, :, None]
+            lifted = lift_depth_context(feat, depth)  # shared with encoder_forward
         else:
-            d = c.depth_channels
-            lifted = jnp.broadcast_to(
-                feat[:, :, :, None], (b, s, nl, d) + feat.shape[3:])
+            lifted = lift_uniform(feat, c.depth_channels)
             depth = None
 
         geometry = get_geometry(jnp.asarray(frustum), intrinsics, extrinsics)
         x = project_to_birds_eye_view(
-            lifted, geometry, ego, res, start, dim, discount=c.discount)
+            lifted, geometry, ego, res, start, dim, discount=c.discount,
+            method=_shard_splat_method())
         # scatter-add is linear over cameras; partial grids sum exactly
         x = lax.psum(x, 'cam')
         return x, depth, cam_front
@@ -155,9 +167,11 @@ def make_cam_parallel_plan_step(model: STP3, mesh: Mesh):
                   trajs, gt_trajs, commands, target_points):
         out = forward(variables, image, intrinsics, extrinsics, ego)
         rf = c.receptive_field
-        seg_pred = out['segmentation'].argmax(-1)
-        ped_pred = out['pedestrian'].argmax(-1)
-        occupancy = jnp.logical_or(seg_pred, ped_pred).astype(jnp.float32)
+        occupancy = out['segmentation'].argmax(-1)
+        if c.predict_pedestrian:  # head is None when disabled (Perception cfg)
+            occupancy = jnp.logical_or(occupancy,
+                                       out['pedestrian'].argmax(-1))
+        occupancy = occupancy.astype(jnp.float32)
         _, traj = model.apply(variables, out['cam_front'], trajs, gt_trajs,
                               out['costvolume'][:, rf:], occupancy[:, rf:],
                               out['hdmap'], commands, target_points,

@@ -87,6 +87,18 @@ def test_cam_parallel_plan_step_matches_single_device():
                                rtol=1e-4, atol=2e-4)
 
 
+def test_cam_parallel_plan_step_without_pedestrian_head():
+    """Decoder returns pedestrian=None when the head is disabled; the
+    plan step must build occupancy from segmentation alone, not crash."""
+    cfg = make_test_cfg()
+    cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED = False
+    model, variables, (img, K, E, ego) = _build(cfg)
+    trajs, gt, commands, target = _plan_inputs(cfg)
+    step = make_cam_parallel_plan_step(model, cam_mesh(2))
+    traj = step(variables, img, K, E, ego, trajs, gt, commands, target)
+    assert np.isfinite(np.asarray(traj)).all()
+
+
 def test_cam_parallel_rejects_indivisible_split():
     cfg = make_test_cfg()
     model, variables, (img, K, E, ego) = _build(cfg)

@@ -75,7 +75,18 @@ def test_ln_param_trees_unchanged():
     v = Bottleblock(16).init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)))
     assert {'LayerNorm_0', 'LayerNorm_1', 'LayerNorm_2'} <= set(v['params'])
     v = ConvNeXtBlock().init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 8)))
-    assert 'LayerNorm_0' in v['params']
+    assert 'LayerNorm_0' in v['params'] and 'gamma' in v['params']
+
+
+def test_convnext_layer_scale_disabled():
+    """layer_scale_init_value <= 0 disables gamma (reference
+    convolutions.py:330 semantics) instead of crashing."""
+    x = jnp.ones((1, 4, 4, 8))
+    block = ConvNeXtBlock(layer_scale_init_value=0.0)
+    v = block.init(jax.random.PRNGKey(0), x)
+    assert 'gamma' not in v['params']
+    out = block.apply(v, x)
+    assert out.shape == x.shape and jnp.isfinite(out).all()
 
 
 def test_norm_param_tree_unchanged():

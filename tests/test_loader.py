@@ -1,4 +1,4 @@
-"""NumpyLoader worker modes: thread pool, fork process pool, serial —
+"""NumpyLoader worker modes: thread pool, spawn process pool, serial —
 identical batch streams (content + order) for a fixed seed.
 """
 import numpy as np
@@ -28,6 +28,22 @@ def test_worker_modes_match_serial(kw):
         np.testing.assert_allclose(_stream(serial), _stream(pooled))
     finally:
         pooled.close()
+
+
+@pytest.mark.parametrize('kw', [
+    dict(num_workers=2),
+    dict(num_workers=2, use_processes=True),
+])
+def test_prefetch_zero_still_yields(kw):
+    """prefetch=0 must degrade to prefetch=1, not silently yield an empty
+    epoch (the in-flight seed loop would otherwise never start)."""
+    cfg = make_test_cfg()
+    ds = SyntheticDataset(cfg, n_samples=6, seed=0)
+    loader = NumpyLoader(ds, 2, drop_last=False, prefetch=0, **kw)
+    try:
+        assert len(list(loader)) == 3
+    finally:
+        loader.close()
 
 
 def test_loader_factory_wires_cfg_workers():
