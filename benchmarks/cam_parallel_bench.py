@@ -33,7 +33,8 @@ from __graft_entry__ import (_flagship_cfg, _init_flagship,  # noqa: E402
                              _planning_extras)
 from stp3_tpu.models.stp3 import STP3, STP3Config  # noqa: E402
 from stp3_tpu.parallel.serving import (cam_mesh,  # noqa: E402
-                                       make_cam_parallel_forward)
+                                       make_cam_parallel_forward,
+                                       make_cam_parallel_serve_step)
 from stp3_tpu.utils.precision import cast_floating, policy_dtype  # noqa: E402
 
 
@@ -95,6 +96,39 @@ def main():
     p50 = float(np.percentile(reps, 50))
     print(json.dumps({
         'metric': f'cam_parallel_6cam_plan_latency_p50_k{shards}',
+        'value': round(p50, 2),
+        'unit': 'ms',
+        'vs_baseline': round(100.0 / p50, 3),
+    }))
+
+    # ---- the production INCREMENTAL path, same mesh: only the present
+    # frame is encoded+splatted per tick (sharded over cams); past grids
+    # ride the rolling cache, which also supplies the iteration-to-
+    # iteration data dependence for honest timing over the tunnel
+    serve = make_cam_parallel_serve_step(model, cam_mesh(shards))
+    rf = mc.receptive_field
+    # jitted, or the cache build dispatches the encoder op-by-op over the
+    # tunnel (~10 ms/op; see CLAUDE.md / trainer.init_state)
+    splat1 = jax.jit(lambda v, i1, k1, e1: model.apply(
+        v, i1, k1, e1, train=False, method=STP3.splat_single_frame)[0])
+    cache = jnp.stack(
+        [splat1(variables, image[:, t], k[:, t], e[:, t])
+         for t in range(rf - 1)], axis=1)
+
+    def run_serve_chain(n):
+        c = cache
+        t0 = time.perf_counter()
+        for _ in range(n):
+            traj, _, c = serve(variables, image[:, -1], k[:, -1], e[:, -1],
+                               ego, c, trajs, commands, target)
+        float(traj[0, 0, 0])
+        return (time.perf_counter() - t0) / n * 1000.0
+
+    run_serve_chain(1)  # compile + warmup
+    reps = [run_serve_chain(5) for _ in range(5)]
+    p50 = float(np.percentile(reps, 50))
+    print(json.dumps({
+        'metric': f'cam_parallel_serve_step_latency_p50_k{shards}',
         'value': round(p50, 2),
         'unit': 'ms',
         'vs_baseline': round(100.0 / p50, 3),

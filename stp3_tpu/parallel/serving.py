@@ -31,6 +31,12 @@ measurable in this environment (one physical chip) — the numbers above
 are stage-split arithmetic, not measurements; run
 ``benchmarks/cam_parallel_bench.py`` on a real multi-chip host.
 
+Both serving modes are covered: ``make_cam_parallel_forward`` shards the
+full-recompute forward (all rf frames re-encoded each call) and
+``make_cam_parallel_serve_step`` shards the production incremental path
+(``STP3.serve_step``: only the present frame is encoded+splatted; past
+grids come from the rolling cache).
+
 The TRAINING analogue of this module is ordinary data parallelism
 (parallel/mesh.py) — at batch >= 2 sharding the batch is strictly better
 than sharding cameras (no psum inside the step). This module exists for
@@ -152,6 +158,80 @@ def make_cam_parallel_forward(model: STP3, mesh: Mesh):
                            rngs=None)
 
     return forward
+
+
+def make_cam_parallel_serve_step(model: STP3, mesh: Mesh):
+    """``STP3.serve_step`` — the production incremental serving path —
+    with the present-frame encoder+lift+splat sharded over mesh axis
+    'cam': ``fn(variables, image, K, E, future_egomotion, cached_bev,
+    trajs, commands, target_points) -> (refined traj, output dict,
+    new cache)``, equal to ``model.apply(..., method=STP3.serve_step)``.
+
+    image (B, N, H, W, 3) is the present frame only. The shard front is
+    the single-frame analogue of ``make_cam_parallel_forward``'s: each
+    shard encodes + lifts + splats its N/k cameras into a full
+    present-frame grid (no ego pre-warp — one frame in its own ego
+    frame), one psum merges the partials, and the replicated
+    ``STP3._serve_tail`` (cache grid-warp + discount accumulate +
+    temporal + future + decode + plan) runs unchanged. The fixed-rig
+    ``serve_step_static`` variant is NOT sharded here: its column splat
+    plan is built over the whole rig; shard it by building per-shard
+    camera plans if a deployment ever needs both at once."""
+    c = model.cfg
+    n_shards = mesh.shape['cam']
+    frustum = create_frustum(c.final_dim, c.encoder_downsample, c.d_bound)
+    res, start, dim = calculate_birds_eye_view_parameters(
+        list(c.x_bound), list(c.y_bound), list(c.z_bound))
+
+    def _front(variables, image, intrinsics, extrinsics):
+        # SHARD-LOCAL shapes: image (B, nl, H, W, 3), nl = N / n_shards
+        b, nl = image.shape[:2]
+        flat = image.reshape(b * nl, *image.shape[2:])
+        feat, depth = model.apply(variables, flat, False,
+                                  method=lambda m, x, t: m.encoder(x, t))
+        feat = feat.reshape(b, nl, *feat.shape[1:])          # (B,nl,Hf,Wf,C)
+
+        cam_front = None
+        if c.planning_enabled:
+            gidx = lax.axis_index('cam') * nl + jnp.arange(nl)
+            mask = (gidx == c.cam_front_index).astype(feat.dtype)
+            cam_front = lax.psum(
+                jnp.einsum('n,bnhwc->bhwc', mask, feat), 'cam')
+
+        if c.use_depth_distribution:
+            depth = depth.reshape(b, nl, *depth.shape[1:])
+            lifted = lift_depth_context(feat, depth)         # (B,nl,D,Hf,Wf,C)
+        else:
+            lifted = lift_uniform(feat, c.depth_channels)
+
+        geometry = get_geometry(jnp.asarray(frustum),
+                                intrinsics[:, None], extrinsics[:, None])
+        zero_ego = jnp.zeros((b, 1, 6), lifted.dtype)
+        bev = project_to_birds_eye_view(
+            lifted[:, None], geometry, zero_ego, res, start, dim,
+            discount=c.discount, method=_shard_splat_method())[:, 0]
+        return lax.psum(bev, 'cam'), cam_front
+
+    front = jax.shard_map(
+        _front, mesh=mesh,
+        in_specs=(P(), P(None, 'cam'), P(None, 'cam'), P(None, 'cam')),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=rep)
+    def serve(variables, image, intrinsics, extrinsics, future_egomotion,
+              cached_bev, trajs, commands, target_points):
+        if image.shape[1] % n_shards:
+            raise ValueError(f'{image.shape[1]} cameras do not split over '
+                             f'{n_shards} shards')
+        bev_new, cam_front = front(variables, image, intrinsics, extrinsics)
+        return model.apply(variables, bev_new, cam_front, cached_bev,
+                           future_egomotion, trajs, commands, target_points,
+                           train=False, method=STP3._serve_tail)
+
+    return serve
 
 
 def make_cam_parallel_plan_step(model: STP3, mesh: Mesh):

@@ -10,7 +10,8 @@ import pytest
 from helpers import make_test_cfg
 from stp3_tpu.models.stp3 import STP3, STP3Config
 from stp3_tpu.parallel.serving import (cam_mesh, make_cam_parallel_forward,
-                                       make_cam_parallel_plan_step)
+                                       make_cam_parallel_plan_step,
+                                       make_cam_parallel_serve_step)
 from test_model import _inputs
 
 
@@ -84,6 +85,34 @@ def test_cam_parallel_plan_step_matches_single_device():
     step = make_cam_parallel_plan_step(model, cam_mesh(2))
     traj = step(variables, img, K, E, ego, trajs, gt, commands, target)
     np.testing.assert_allclose(np.asarray(traj), np.asarray(ref_traj),
+                               rtol=1e-4, atol=2e-4)
+
+
+def test_cam_parallel_serve_step_matches_single_device():
+    """The sharded incremental path == STP3.serve_step (same math, only
+    float reassociation from the per-shard encoder batch + psum)."""
+    cfg = make_test_cfg()
+    model, variables, (img, K, E, ego) = _build(cfg)
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    trajs, gt, commands, target = _plan_inputs(cfg)
+
+    cache = jnp.stack(
+        [model.apply(variables, img[:, t], K[:, t], E[:, t],
+                     train=False, method=STP3.splat_single_frame)[0]
+         for t in range(rf - 1)], axis=1)
+    ref_traj, ref_out, ref_cache = model.apply(
+        variables, img[:, -1], K[:, -1], E[:, -1], ego, cache,
+        trajs, commands, target, train=False, method=STP3.serve_step)
+
+    serve = make_cam_parallel_serve_step(model, cam_mesh(2))
+    traj, out, new_cache = serve(variables, img[:, -1], K[:, -1], E[:, -1],
+                                 ego, cache, trajs, commands, target)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(ref_traj),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out['segmentation']),
+                               np.asarray(ref_out['segmentation']),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(new_cache), np.asarray(ref_cache),
                                rtol=1e-4, atol=2e-4)
 
 
