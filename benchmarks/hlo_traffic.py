@@ -96,6 +96,24 @@ _SKIP_OPCODES = ('parameter', 'constant', 'tuple', 'get-tuple-element',
 _OPERAND_RE = re.compile(r'%?([\w.\-]+)')
 
 
+# rows whose producer-chain walk ran out of hop budget without finding an
+# op_name (they fall back to '' → '?' attribution). Counted globally so
+# main() can report them instead of silently under-attributing — the
+# repo-wide 'no silent caps' convention. Reset per audit via
+# reset_exhausted_chains().
+_EXHAUSTED_CHAINS = 0
+_CHAIN_HOP_BUDGET = 64
+
+
+def reset_exhausted_chains() -> None:
+    global _EXHAUSTED_CHAINS
+    _EXHAUSTED_CHAINS = 0
+
+
+def exhausted_chains() -> int:
+    return _EXHAUSTED_CHAINS
+
+
 def _inherit_opnames(raw_rows, chain):
     """Rows whose instruction carries no op_name metadata (late-pass
     copies, layout-assignment staging, async copy-start/copy-done pairs)
@@ -104,11 +122,14 @@ def _inherit_opnames(raw_rows, chain):
     produced the convolution instead of '?'. ``chain`` maps EVERY
     instruction (including get-tuple-element/bitcast links that are not
     materialized rows themselves) to (op_name, first_operand) so chains
-    survive the skipped glue opcodes."""
+    survive the skipped glue opcodes. Walks that exhaust the hop budget
+    are counted in ``exhausted_chains()`` rather than silently reverting
+    to '?' attribution."""
+    global _EXHAUSTED_CHAINS
     out = []
     for name, opcode, b, op, _ in raw_rows:
         cur = name
-        for _hop in range(16):
+        for _hop in range(_CHAIN_HOP_BUDGET):
             c_op, c_fo = chain.get(cur, ('', ''))
             if c_op:
                 op = c_op
@@ -116,6 +137,8 @@ def _inherit_opnames(raw_rows, chain):
             if not c_fo:
                 break
             cur = c_fo
+        else:
+            _EXHAUSTED_CHAINS += 1
         out.append((name, opcode, b, op))
     return out
 
@@ -242,10 +265,15 @@ def main():
     print(f'bytes accessed/step: {byt/1e9:8.1f} GB    '
           f'(HBM floor {byt/819e9*1e3:5.1f} ms @819 GB/s)')
 
+    reset_exhausted_chains()
     rows = list(audit(compiled.as_text()))
     total_w = sum(r[2] for r in rows)
     print(f'materialized writes: {total_w/1e9:8.1f} GB '
           f'({len(rows)} top-level instructions)')
+    if exhausted_chains():
+        print(f'WARNING: {exhausted_chains()} rows exhausted the '
+              f'{_CHAIN_HOP_BUDGET}-hop producer-chain budget and fell '
+              f'back to \'?\' attribution')
 
     by_stage = collections.Counter()
     by_opcode = collections.Counter()

@@ -246,7 +246,15 @@ class DualGRU(nn.Module):
 
 class BiGRU(nn.Module):
     """Bidirectional conv-GRU (reference temporal.py:162-249; defined but
-    unused in the reference forward path — kept for API parity)."""
+    unused in the reference forward path — kept for API parity and
+    oracle-tested like the live GRUs, tests/test_module_parity.py).
+
+    Reference quirk NOT reproduced: its res_blocks build
+    ``Block(in_channels, in_channels)`` (temporal.py:184-185), passing
+    in_channels as ConvNeXt Block's 2nd positional arg — ``drop_path`` —
+    i.e. a stochastic-depth RATE of ``in_channels``. Identity at eval
+    (timm DropPath is a no-op outside training), nonsense at train; this
+    port uses drop-path 0, which is eval-equivalent."""
     in_channels: int
     gru_bias_init: float = 0.0
 

@@ -226,6 +226,16 @@ class STP3(nn.Module):
                                 'cells'}
         if unknown:
             raise NotImplementedError(f'MODEL.REMAT stages {sorted(unknown)}')
+        # reject tags that would silently no-op on this architecture: a
+        # user-config remat policy that quietly does nothing is a memory
+        # budget miscalculation waiting to OOM
+        if 'temporal' in remat_tags and c.temporal_name == 'identity':
+            raise ValueError("MODEL.REMAT 'temporal' has no effect with "
+                             "MODEL.TEMPORAL_MODEL.NAME 'identity'")
+        if remat_tags & {'future', 'cells'} and c.n_future == 0:
+            raise ValueError(f"MODEL.REMAT {sorted(remat_tags & {'future', 'cells'})} "
+                             "has no effect with N_FUTURE_FRAMES 0 "
+                             "(no future-prediction stage is built)")
 
         encoder_cls = (nn.remat(Encoder, static_argnums=(2,))
                        if 'encoder' in remat_tags else Encoder)

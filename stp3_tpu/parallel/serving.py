@@ -59,6 +59,11 @@ from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
                                    create_frustum, get_geometry)
 
 
+# concrete bev_pool dispatch names (ops/bev_pool.py); 'auto' is NOT one of
+# them — it must be resolved here, per-shard, not forwarded (see below)
+_KNOWN_SPLAT_METHODS = ('sort', 'scatter', 'pallas', 'pallas2', 'pallas2b')
+
+
 def _shard_splat_method() -> str:
     """Splat method for the per-shard program. bev_pool's 'auto' keys on
     ``jax.device_count() == 1`` (pallas custom calls have no GSPMD
@@ -66,19 +71,33 @@ def _shard_splat_method() -> str:
     single-device program where the pallas kernel IS valid — relying on
     'auto' would silently drop to the ~2x-slower XLA scatter on exactly
     the multi-chip hosts this module targets. Honors the same
-    STP3_SPLAT_METHOD env hatch as bev_pool."""
+    STP3_SPLAT_METHOD env hatch as bev_pool, but resolves 'auto' to the
+    per-shard default and raises on unknown names instead of letting a
+    typo flow into the shard program and silently regress."""
     env = os.environ.get('STP3_SPLAT_METHOD', '')
-    if env:
+    if env and env != 'auto':
+        if env not in _KNOWN_SPLAT_METHODS:
+            raise ValueError(
+                f'STP3_SPLAT_METHOD={env!r} is not a known splat method '
+                f'{_KNOWN_SPLAT_METHODS}')
         return env
     return 'pallas2b' if jax.default_backend() == 'tpu' else 'scatter'
 
 
 def cam_mesh(n_shards: int, devices=None) -> Mesh:
     """1-D mesh over the camera axis. n_shards must divide the camera
-    count (6 -> 1, 2, 3 or 6 shards)."""
-    devices = devices if devices is not None else jax.devices()
+    count (6 -> 1, 2, 3 or 6 shards). Devices are filtered to a single
+    platform (the first device's) so a host exposing mixed backends
+    (e.g. a TPU plus host CPU devices) never builds a mesh whose psum
+    would cross PCIe or fail at runtime."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if not devices:
+        raise ValueError('no devices')
+    platform = devices[0].platform
+    devices = [d for d in devices if d.platform == platform]
     if len(devices) < n_shards:
-        raise ValueError(f'need {n_shards} devices, have {len(devices)}')
+        raise ValueError(f'need {n_shards} {platform} devices, '
+                         f'have {len(devices)}')
     return Mesh(np.asarray(devices[:n_shards]), ('cam',))
 
 

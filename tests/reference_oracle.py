@@ -46,11 +46,18 @@ def install() -> None:
         timm_layers = _module('timm.models.layers')
 
         class DropPath(tnn.Module):
+            # drop_prob > 0 is accepted but only in eval mode (identity),
+            # matching timm. The reference even instantiates one with
+            # drop_prob=in_channels: BiGRU passes Block(in, in) where
+            # Block's 2nd positional arg is drop_path (temporal.py:184-185)
+            # — dead code in the reference, identity at eval either way.
             def __init__(self, drop_prob: float = 0.0):
                 super().__init__()
-                assert drop_prob == 0.0, 'shim supports drop_prob=0 only'
+                self.drop_prob = drop_prob
 
             def forward(self, x):
+                assert self.drop_prob == 0.0 or not self.training, \
+                    'shim supports drop_prob>0 in eval mode only'
                 return x
 
         timm_layers.DropPath = DropPath

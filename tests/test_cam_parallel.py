@@ -134,3 +134,32 @@ def test_cam_parallel_rejects_indivisible_split():
     fn = make_cam_parallel_forward(model, cam_mesh(3))  # 2 cams / 3 shards
     with pytest.raises(ValueError, match='do not split'):
         fn(variables, img, K, E, ego)
+
+
+def test_shard_splat_method_env_validation(monkeypatch):
+    """STP3_SPLAT_METHOD must resolve to a concrete per-shard method:
+    'auto' resolves here (forwarding it would hit bev_pool's global
+    device_count>1 gate and silently regress to the XLA scatter), and an
+    unknown name raises instead of flowing into the shard program."""
+    from stp3_tpu.parallel.serving import _shard_splat_method
+
+    monkeypatch.delenv('STP3_SPLAT_METHOD', raising=False)
+    assert _shard_splat_method() in ('pallas2b', 'scatter')
+    monkeypatch.setenv('STP3_SPLAT_METHOD', 'auto')
+    assert _shard_splat_method() in ('pallas2b', 'scatter')
+    monkeypatch.setenv('STP3_SPLAT_METHOD', 'scatter')
+    assert _shard_splat_method() == 'scatter'
+    monkeypatch.setenv('STP3_SPLAT_METHOD', 'pallas2x')
+    with pytest.raises(ValueError, match='pallas2x'):
+        _shard_splat_method()
+
+
+def test_cam_mesh_filters_to_one_platform():
+    """cam_mesh must never build a mesh mixing device platforms — the
+    psum would cross PCIe or fail. All devices here are CPU, so assert
+    the platform filter logic on the real device list and the error on
+    an over-ask."""
+    mesh = cam_mesh(2)
+    assert len({d.platform for d in mesh.devices.flat}) == 1
+    with pytest.raises(ValueError, match='devices'):
+        cam_mesh(10**6)

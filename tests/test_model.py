@@ -98,6 +98,34 @@ def test_identity_temporal_model():
     assert out['segmentation'].shape == (1, 1, hb, wb, 2)
 
 
+def test_remat_noop_tags_rejected():
+    """MODEL.REMAT tags that cannot apply to the instantiated architecture
+    must raise instead of silently no-op'ing (a quiet remat miss is a
+    memory-budget miscalculation waiting to OOM)."""
+    cfg = make_test_cfg(N_FUTURE_FRAMES=0)
+    cfg.PROBABILISTIC.ENABLED = False
+    cfg.PLANNING.ENABLED = False
+    cfg.INSTANCE_SEG.ENABLED = False
+    cfg.INSTANCE_FLOW.ENABLED = False
+    cfg.MODEL.REMAT = 'encoder+future'
+    model = STP3(STP3Config.from_cfg(cfg))
+    img, K, E, ego = _inputs(cfg)
+    with pytest.raises(ValueError, match='N_FUTURE_FRAMES'):
+        model.lazy_init(jax.random.PRNGKey(0), img, K, E, ego, train=False)
+
+    cfg = make_test_cfg(N_FUTURE_FRAMES=0, TIME_RECEPTIVE_FIELD=1)
+    cfg.MODEL.TEMPORAL_MODEL.NAME = 'identity'
+    cfg.PROBABILISTIC.ENABLED = False
+    cfg.PLANNING.ENABLED = False
+    cfg.INSTANCE_SEG.ENABLED = False
+    cfg.INSTANCE_FLOW.ENABLED = False
+    cfg.MODEL.REMAT = 'temporal'
+    model = STP3(STP3Config.from_cfg(cfg))
+    img, K, E, ego = _inputs(cfg)
+    with pytest.raises(ValueError, match='identity'):
+        model.lazy_init(jax.random.PRNGKey(0), img, K, E, ego, train=False)
+
+
 def test_no_depth_distribution():
     cfg = make_test_cfg(N_FUTURE_FRAMES=0)
     cfg.MODEL.ENCODER.USE_DEPTH_DISTRIBUTION = False

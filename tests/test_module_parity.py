@@ -107,6 +107,40 @@ def test_dual_gru_parity(mixture):
     _assert_close(out_j, from_t5(out_t), what='Dual_GRU')
 
 
+# --------------------------------------------------------------------- BiGRU
+
+def test_bigru_parity():
+    """reference temporal.py:162-249 — defined but unused in the reference
+    forward path; kept for API parity, so it gets the same oracle test as
+    the live GRUs (forward/backward pass order, decoder-per-step, reversed
+    backward stack, res-block tail)."""
+    from stp3_tpu.layers.temporal import BiGRU
+
+    cin = 6
+    ref = ref_temporal.BiGRU(cin)
+    ro.randomize_(ref, seed=31)
+    ref.eval()
+
+    def build(b):
+        b.gru_gates('m.conv_update_1', 'm.conv_reset_1', 'f/cell1/gates')
+        b.conv('m.conv_state_tilde_1', 'f/cell1/candidate', bias=True)
+        b.gru_gates('m.conv_update_2', 'm.conv_reset_2', 'f/cell2/gates')
+        b.conv('m.conv_state_tilde_2', 'f/cell2/candidate', bias=True)
+        b.bottleblock('m.conv_decoder_1', 'f/decoder1', in_ch=cin, out_ch=cin)
+        b.bottleblock('m.conv_decoder_2', 'f/decoder2', in_ch=cin, out_ch=cin)
+        b.bottleblock('m.res_blocks.0', 'f/Bottleblock_0',
+                      in_ch=2 * cin, out_ch=cin)
+        b.convnext_block('m.res_blocks.1', 'f/ConvNeXtBlock_0')
+        b.convnext_block('m.res_blocks.2', 'f/ConvNeXtBlock_1')
+
+    params = ro.convert(build, ref)
+    x = _rand((2, 3, cin, 5, 7), 30)                   # (B, T, C, H, W)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x))
+    out_j = BiGRU(cin).apply({'params': params}, np.moveaxis(x, 2, -1))
+    _assert_close(out_j, from_t5(out_t), what='BiGRU')
+
+
 # -------------------------------------------------- TemporalBlock/Bottleneck3D
 
 def test_temporal_block_pyramid_parity():
