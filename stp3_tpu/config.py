@@ -224,6 +224,15 @@ def _defaults() -> CfgNode:
     _C.PLANNING.GRU_STATE_SIZE = 256
     _C.PLANNING.SAMPLE_NUM = 600
     _C.PLANNING.COMMAND = ['LEFT', 'FORWARD', 'RIGHT']
+    # Reproduce the reference's hardcoded cam_front_index=1 (reference
+    # stp3.py:203) instead of resolving the front camera by name. For
+    # nuScenes the two agree (CAM_FRONT is at index 1); for CARLA's rig
+    # order (front,left,right,rear) index 1 is the LEFT camera — a
+    # reference bug, but a checkpoint TRAINED with it expects the planner
+    # to consume that camera's feature, so imported reference CARLA
+    # checkpoints must run with this True (the torch importer auto-sets
+    # it; see PARITY.md "cam_front selection").
+    _C.PLANNING.CAM_FRONT_PARITY = False
 
     _C.FUTURE_DISCOUNT = 0.95
 

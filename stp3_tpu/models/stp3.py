@@ -43,7 +43,10 @@ def _cam_front_index(names) -> int:
     CAM_FRONT at 1 (the reference's hardcoded cam_front_index=1,
     stp3.py:203). NB for CARLA the reference reuses index 1, which is the
     LEFT camera in its rig order (front,left,right,rear) — an apparent
-    reference bug; we resolve by name instead and take the actual front."""
+    reference bug; we resolve by name instead and take the actual front.
+    A checkpoint trained with the reference bug expects the LEFT feature,
+    though — set PLANNING.CAM_FRONT_PARITY=True (auto-set by the torch
+    importer for such rigs) to reproduce the hardcoded index 1."""
     lowered = [str(n).lower() for n in names]
     for i, n in enumerate(lowered):
         if n in ('cam_front', 'front'):
@@ -160,7 +163,8 @@ class STP3Config:
             cost=CostConfig.from_cfg(cfg),
             gt_depth=cfg.LIFT.GT_DEPTH,
             remat=cfg.MODEL.get('REMAT', 'none'),
-            cam_front_index=_cam_front_index(cfg.IMAGE.NAMES),
+            cam_front_index=(1 if cfg.PLANNING.get('CAM_FRONT_PARITY', False)
+                             else _cam_front_index(cfg.IMAGE.NAMES)),
         )
 
     @property

@@ -712,6 +712,27 @@ def synthesize_state_dict(cfg, seed: int = 0) -> StateDict:
     return sd
 
 
+def apply_cam_front_parity(cfg) -> bool:
+    """Auto-set PLANNING.CAM_FRONT_PARITY for an imported REFERENCE
+    checkpoint whose rig order puts the front camera somewhere other than
+    index 1 (CARLA: front,left,right,rear). The reference hardcodes
+    cam_front_index=1 (reference stp3.py:203) — for CARLA that is the
+    LEFT camera — so a checkpoint trained by the reference expects the
+    planner to consume THAT camera's feature; feeding the true front
+    camera instead is a train/serve distribution shift that silently
+    degrades imported-checkpoint parity. Mutates ``cfg`` in place and
+    returns True if the flag was newly set. See PARITY.md."""
+    from stp3_tpu.models.stp3 import _cam_front_index
+    if not cfg.PLANNING.ENABLED:
+        return False
+    if cfg.PLANNING.get('CAM_FRONT_PARITY', False):
+        return False
+    if _cam_front_index(cfg.IMAGE.NAMES) != 1:
+        cfg.PLANNING.CAM_FRONT_PARITY = True
+        return True
+    return False
+
+
 def init_param_tree(cfg, seed: int = 0) -> Params:
     """Init the STP3 flax model (tiny inputs) and return its param tree."""
     import jax

@@ -288,3 +288,57 @@ def test_filter_decoder():
     params = {'decoder': {'x': 1}, 'encoder': {'y': 2}}
     out = ti.filter_decoder(params)
     assert 'decoder' not in out and 'encoder' in out
+
+
+def test_cam_front_parity_mode():
+    """PLANNING.CAM_FRONT_PARITY reproduces the reference's hardcoded
+    cam_front_index=1 (reference stp3.py:203) for imported CARLA
+    checkpoints: the planner must see the SAME camera feature the
+    reference fed it (the LEFT camera in CARLA rig order), not the true
+    front camera (PARITY.md deviation #6)."""
+    from helpers import make_test_cfg
+    from test_model import _inputs
+
+    cfg = make_test_cfg()
+    cfg.IMAGE.NAMES = ['front', 'rear']       # CARLA-like: front at 0
+    mc_name = STP3Config.from_cfg(cfg)
+    assert mc_name.cam_front_index == 0        # by-name resolution
+    cfg.PLANNING.CAM_FRONT_PARITY = True
+    mc_par = STP3Config.from_cfg(cfg)
+    assert mc_par.cam_front_index == 1         # reference hardcode
+
+    # feature-level check: the parity model on camera-swapped inputs sees
+    # exactly the feature the by-name model sees on the original inputs
+    # (cam_front is a per-camera encoder feature; index selection only)
+    model_name, model_par = STP3(mc_name), STP3(mc_par)
+    img, K, E, ego = _inputs(cfg)
+    variables = model_name.init(jax.random.PRNGKey(0), img, K, E, ego,
+                                train=False)
+    out_name = model_name.apply(variables, img, K, E, ego, train=False)
+    out_par = model_par.apply(variables, img[:, :, ::-1], K[:, :, ::-1],
+                              E[:, :, ::-1], ego, train=False)
+    np.testing.assert_allclose(np.asarray(out_par['cam_front']),
+                               np.asarray(out_name['cam_front']),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_apply_cam_front_parity_autoset():
+    """The torch importer auto-sets the parity flag exactly when the rig's
+    by-name front index differs from the reference's hardcoded 1."""
+    from helpers import make_test_cfg
+
+    cfg = make_test_cfg()
+    cfg.IMAGE.NAMES = ['front', 'left', 'right', 'rear']   # CARLA order
+    assert ti.apply_cam_front_parity(cfg)
+    assert cfg.PLANNING.CAM_FRONT_PARITY
+    assert not ti.apply_cam_front_parity(cfg)              # idempotent
+
+    cfg = make_test_cfg()                                  # front resolves to 1
+    cfg.IMAGE.NAMES = ['CAM_FRONT_LEFT', 'CAM_FRONT', 'CAM_FRONT_RIGHT']
+    assert not ti.apply_cam_front_parity(cfg)
+    assert not cfg.PLANNING.get('CAM_FRONT_PARITY', False)
+
+    cfg = make_test_cfg()                                  # no planner, no flag
+    cfg.IMAGE.NAMES = ['front', 'rear']
+    cfg.PLANNING.ENABLED = False
+    assert not ti.apply_cam_front_parity(cfg)
