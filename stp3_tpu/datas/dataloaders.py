@@ -39,8 +39,14 @@ def prepare_dataloaders(cfg, return_dataset: bool = False, split: str = 'both'):
     else:
         raise NotImplementedError(name)
 
+    # multi-process runs: cfg.BATCHSIZE is PER PROCESS (the reference's
+    # per-GPU DDP batch); each process loads its own contiguous slice of
+    # every global batch (NumpyLoader rank/world split) and shard_batch
+    # assembles the global array
+    import jax
     kw = dict(num_workers=int(cfg.N_WORKERS),
-              use_processes=cfg.get('WORKER_KIND', 'thread') == 'process')
+              use_processes=cfg.get('WORKER_KIND', 'thread') == 'process',
+              rank=jax.process_index(), world=jax.process_count())
     trainloader = (NumpyLoader(traindata, cfg.BATCHSIZE, shuffle=True,
                                drop_last=True, **kw)
                    if traindata is not None else None)

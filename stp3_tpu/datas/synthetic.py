@@ -242,7 +242,8 @@ class NumpyLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, seed: int = 0, num_workers: int = 4,
-                 prefetch: int = 2, use_processes: bool = False):
+                 prefetch: int = 2, use_processes: bool = False,
+                 rank: int = 0, world: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -252,6 +253,16 @@ class NumpyLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.use_processes = use_processes
+        # multi-process data sharding (torch DistributedSampler analogue):
+        # batch_size is PER PROCESS; each epoch's shuffled index list is
+        # cut into global batches of batch_size*world rows, and process
+        # `rank` takes the rank-th CONTIGUOUS batch_size rows of each —
+        # so the global array shard_batch assembles (process-0 rows
+        # first) is bit-identical to the single-process batch, and every
+        # process yields the same number of full batches (no collective
+        # deadlock on a ragged tail).
+        self.rank = rank
+        self.world = world
         self._pool = None
 
     # -- process-pool plumbing ------------------------------------------
@@ -284,6 +295,21 @@ class NumpyLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
+        if self.world > 1:
+            gb = self.batch_size * self.world
+            if self.drop_last:
+                idx = idx[:len(idx) // gb * gb]
+            else:
+                # wrap-around pad to equal full batches on every process
+                # (torch DistributedSampler semantics: a few duplicated
+                # val samples beat a cross-process ragged-tail deadlock)
+                pad = (-len(idx)) % gb
+                if pad:
+                    reps = -(-pad // max(len(idx), 1))
+                    idx = np.concatenate([idx, np.tile(idx, reps)[:pad]])
+            lo = self.rank * self.batch_size
+            return [idx[i + lo:i + lo + self.batch_size]
+                    for i in range(0, len(idx), gb)]
         end = (len(idx) // self.batch_size * self.batch_size
                if self.drop_last else len(idx))
         return [idx[i:i + self.batch_size] for i in range(0, end, self.batch_size)]

@@ -278,6 +278,24 @@ def build_column_splat_plan(frustum, intrinsics, extrinsics, bev_resolution,
                                                np.asarray(bev_dimension)))
 
 
+def pad_column_plan(plan: ColumnSplatPlan, rmax: int) -> ColumnSplatPlan:
+    """Pad a plan's per-column slot axis to ``rmax`` (sentinel cells,
+    empty lo==hi intervals — padded slots contribute exact zeros and land
+    on the segment-sum overflow row). Used to give the per-shard plans of
+    a camera-parallel rig (parallel/serving.py) a uniform shape so they
+    stack into one shard_map input."""
+    extra = rmax - plan.cells.shape[1]
+    if extra < 0:
+        raise ValueError(f'rmax {rmax} < plan rmax {plan.cells.shape[1]}')
+    if extra == 0:
+        return plan
+    cells = np.pad(plan.cells, ((0, 0), (0, extra)),
+                   constant_values=plan.ncells)
+    lo = np.pad(plan.lo, ((0, 0), (0, 0), (0, extra)))
+    hi = np.pad(plan.hi, ((0, 0), (0, 0), (0, extra)))
+    return dataclasses.replace(plan, cells=cells, lo=lo, hi=hi)
+
+
 def column_splat(ctx: jnp.ndarray, dp: jnp.ndarray, arrays, plan_meta,
                  ) -> jnp.ndarray:
     """Splat one frame with a ColumnSplatPlan.

@@ -34,13 +34,106 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict on the mesh, batch-dim sharded.
 
-    Falls back to replication when the batch size does not divide the mesh
-    (e.g. the final val batch with drop_last=False) — correct, just not
-    parallel for that batch."""
+    Single-process: a plain ``device_put``, falling back to replication
+    when the batch size does not divide the mesh (e.g. the final val
+    batch with drop_last=False) — correct, just not parallel for that
+    batch.
+
+    Multi-process: each process holds only ITS slice of the global batch
+    (the dataloader's rank/world split, ``datas/synthetic.NumpyLoader``),
+    so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — a plain ``device_put``
+    onto a global-mesh sharding would require data for devices this
+    process cannot address. The loaders pad every process to equal full
+    batches, so the global batch always divides the mesh; a mismatch
+    here is a wiring bug and raises."""
     leaves = jax.tree.leaves(batch)
     n = leaves[0].shape[0] if leaves else 0
+    if jax.process_count() > 1:
+        gn = n * jax.process_count()
+        if gn % mesh.size:
+            raise ValueError(
+                f'global batch {gn} ({n}/process x {jax.process_count()} '
+                f'processes) does not divide the {mesh.size}-device mesh; '
+                f'use a per-process BATCHSIZE divisible by '
+                f'{mesh.size // jax.process_count()} local devices')
+        sh = batch_sharding(mesh)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     sh = batch_sharding(mesh) if n % mesh.size == 0 else replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def is_main_process() -> bool:
+    """True on the process that owns side effects (checkpoint writes,
+    TensorBoard, the `best` pointer) — Lightning's rank-0 convention."""
+    return jax.process_index() == 0
+
+
+def host_value(x) -> np.ndarray:
+    """Host numpy view of a REPLICATED (or addressable) array. In a
+    multi-process run, jax.Arrays on the global mesh are not fully
+    addressable and ``np.asarray``/``float()`` on them raise; every
+    process holds a full copy of replicated values, so local shard 0 IS
+    the value."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
+def host_tree(tree):
+    """``host_value`` over a pytree — used to turn the (replicated)
+    train state into plain numpy before a process-0-only checkpoint
+    write."""
+    return jax.tree.map(host_value, tree)
+
+
+def coordination_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Cross-process barrier over the coordination service (gRPC) — NOT a
+    device collective. Safe to call when processes are MINUTES apart:
+    a gloo/ICI collective's pair connect times out (~30 s) if one process
+    dispatches while another is still compiling, which is exactly the
+    skew around big-program compilation this barrier exists to absorb
+    (tests/test_multiprocess.py found the failure). No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
+
+def broadcast_string(s: str, maxlen: int = 512) -> str:
+    """Process-0's string on every process (run-directory names must be
+    identical across processes or cooperative Orbax saves write to
+    different paths). No-op single-process."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+    buf = np.zeros(maxlen + 8, np.uint8)
+    b = s.encode()
+    if len(b) > maxlen:
+        raise ValueError(f'string longer than {maxlen} bytes')
+    buf[:8] = np.frombuffer(np.int64(len(b)).tobytes(), np.uint8)
+    buf[8:8 + len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int(np.frombuffer(out[:8].tobytes(), np.int64)[0])
+    return bytes(out[8:8 + n]).decode()
+
+
+def process_local(x) -> np.ndarray:
+    """Host numpy view of THIS process's rows of a batch-dim-sharded
+    global array (or the full value for replicated/addressable arrays).
+    Used by the val path so each process updates its metric accumulators
+    from its own batch slice; ``allreduce_host_tree`` sums the
+    accumulators at ``compute()``."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    shards = x.addressable_shards
+    starts = {None if not s.index else (s.index[0].start or 0) for s in shards}
+    if len(starts) == 1:          # replicated across local devices
+        return np.asarray(shards[0].data)
+    ordered = sorted(shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in ordered], axis=0)
 
 
 def allreduce_host_tree(tree):
@@ -64,7 +157,20 @@ def allreduce_host_tree(tree):
 
 
 def maybe_initialize_multihost(cfg) -> None:
-    """Multi-host DCN init (no-op single-host; reference has no equivalent —
-    Lightning DDP is single-host multi-GPU in all published configs)."""
+    """Multi-host DCN init (no-op single-host; the reference's analogue is
+    Lightning spawning one DDP process per GPU, reference train.py:43-56).
+
+    On TPU pods / managed clusters ``jax.distributed.initialize()``
+    auto-detects the coordinator. For manual launches (and the 2-process
+    CPU integration test, tests/test_multiprocess.py) the coordinator is
+    passed via env: STP3_COORDINATOR_ADDRESS, STP3_NUM_PROCESSES,
+    STP3_PROCESS_ID."""
     if cfg.PARALLEL.MULTIHOST:
-        jax.distributed.initialize()
+        import os
+        kw = {}
+        addr = os.environ.get('STP3_COORDINATOR_ADDRESS')
+        if addr:
+            kw = dict(coordinator_address=addr,
+                      num_processes=int(os.environ['STP3_NUM_PROCESSES']),
+                      process_id=int(os.environ['STP3_PROCESS_ID']))
+        jax.distributed.initialize(**kw)

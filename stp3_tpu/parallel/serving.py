@@ -193,9 +193,8 @@ def make_cam_parallel_serve_step(model: STP3, mesh: Mesh):
     frame), one psum merges the partials, and the replicated
     ``STP3._serve_tail`` (cache grid-warp + discount accumulate +
     temporal + future + decode + plan) runs unchanged. The fixed-rig
-    ``serve_step_static`` variant is NOT sharded here: its column splat
-    plan is built over the whole rig; shard it by building per-shard
-    camera plans if a deployment ever needs both at once."""
+    ``serve_step_static`` variant is sharded by
+    ``make_cam_parallel_serve_step_static`` (per-shard column plans)."""
     c = model.cfg
     n_shards = mesh.shape['cam']
     frustum = create_frustum(c.final_dim, c.encoder_downsample, c.d_bound)
@@ -249,6 +248,106 @@ def make_cam_parallel_serve_step(model: STP3, mesh: Mesh):
         return model.apply(variables, bev_new, cam_front, cached_bev,
                            future_egomotion, trajs, commands, target_points,
                            train=False, method=STP3._serve_tail)
+
+    return serve
+
+
+def make_cam_parallel_serve_step_static(model: STP3, mesh: Mesh,
+                                        intrinsics, extrinsics):
+    """``STP3.serve_step_static`` — the FASTEST serving path (fixed-rig
+    column splat, 73.1 ms single-chip) — with the present-frame
+    encoder+lift+splat sharded over mesh axis 'cam'.
+
+    intrinsics (N, 3, 3) / extrinsics (N, 4, 4): the FIXED rig (host
+    numpy), frozen into per-shard column splat plans at build time — one
+    ``build_column_splat_plan`` per shard over that shard's N/k cameras,
+    padded to a common slot width so the plans stack into one sharded
+    shard_map operand. Each shard splats its cameras into a full
+    (nx,ny,C) grid (the column plan's segment-sum is linear over
+    cameras), one psum merges the partials, and the replicated
+    ``STP3._serve_tail`` runs unchanged.
+
+    Returns ``fn(variables, image, future_egomotion, cached_bev, trajs,
+    commands, target_points) -> (refined traj, output dict, new cache)``
+    equal to ``model.apply(..., plan, method=STP3.serve_step_static)``
+    with the whole-rig plan (float reassociation of the psum aside;
+    exact-parity tested on the CPU mesh, tests/test_cam_parallel.py)."""
+    from stp3_tpu.ops.static_splat import (build_column_splat_plan,
+                                           column_splat, pad_column_plan)
+    c = model.cfg
+    n_shards = mesh.shape['cam']
+    intrinsics = np.asarray(intrinsics)
+    extrinsics = np.asarray(extrinsics)
+    n = intrinsics.shape[0]
+    if n % n_shards:
+        raise ValueError(f'{n} cameras do not split over {n_shards} shards')
+    nl = n // n_shards
+    frustum = create_frustum(c.final_dim, c.encoder_downsample, c.d_bound)
+    res, start, dim = calculate_birds_eye_view_parameters(
+        list(c.x_bound), list(c.y_bound), list(c.z_bound))
+    bev_dim = (int(dim[0]), int(dim[1]), int(dim[2]))
+    _, hf, wf = np.asarray(frustum).shape[:3]
+
+    # one plan per shard over ITS cameras (host-side precompute), padded
+    # to a uniform slot width and stacked on a leading 'cam' axis
+    plans = [build_column_splat_plan(
+        frustum, intrinsics[i * nl:(i + 1) * nl],
+        extrinsics[i * nl:(i + 1) * nl], res, start, dim)
+        for i in range(n_shards)]
+    rmax = max(p.cells.shape[1] for p in plans)
+    arrays = [pad_column_plan(p, rmax).device_arrays() for p in plans]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *arrays)
+    plan_sharded = jax.device_put(stacked, NamedSharding(mesh, P('cam')))
+
+    def _front(variables, image, plan_arrays):
+        # SHARD-LOCAL: image (B, nl, H, W, 3); plan leaves (1, ...)
+        plan_arrays = jax.tree.map(lambda x: x[0], plan_arrays)
+        b, nl_ = image.shape[:2]
+        flat = image.reshape(b * nl_, *image.shape[2:])
+        feat, depth = model.apply(variables, flat, False,
+                                  method=lambda m, x, t: m.encoder(x, t))
+        feat = feat.reshape(b, nl_, *feat.shape[1:])         # (B,nl,Hf,Wf,C)
+
+        cam_front = None
+        if c.planning_enabled:
+            gidx = lax.axis_index('cam') * nl_ + jnp.arange(nl_)
+            mask = (gidx == c.cam_front_index).astype(feat.dtype)
+            cam_front = lax.psum(
+                jnp.einsum('n,bnhwc->bhwc', mask, feat), 'cam')
+
+        ch = feat.shape[-1]
+        ctx = feat.reshape(b, -1, ch)                        # (B, rays, C)
+        if c.use_depth_distribution:
+            depth = depth.reshape(b, nl_, *depth.shape[1:])
+            dp = jax.nn.softmax(depth, axis=-1).reshape(
+                b, -1, c.depth_channels)
+        else:
+            dp = jnp.ones(ctx.shape[:-1] + (c.depth_channels,), ctx.dtype)
+        bev = column_splat(ctx, dp, plan_arrays,
+                           (nl_, hf, wf, c.depth_channels, bev_dim))
+        return lax.psum(bev, 'cam'), cam_front
+
+    front = jax.shard_map(
+        _front, mesh=mesh,
+        in_specs=(P(), P(None, 'cam'), P('cam')),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit,
+             in_shardings=(rep,) * 7 + (NamedSharding(mesh, P('cam')),))
+    def _serve(variables, image, future_egomotion, cached_bev, trajs,
+               commands, target_points, plan_arrays):
+        bev_new, cam_front = front(variables, image, plan_arrays)
+        return model.apply(variables, bev_new, cam_front, cached_bev,
+                           future_egomotion, trajs, commands, target_points,
+                           train=False, method=STP3._serve_tail)
+
+    def serve(variables, image, future_egomotion, cached_bev, trajs,
+              commands, target_points):
+        return _serve(variables, image, future_egomotion, cached_bev,
+                      trajs, commands, target_points, plan_sharded)
 
     return serve
 

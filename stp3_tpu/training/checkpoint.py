@@ -42,15 +42,21 @@ def save_checkpoint(ckpt_dir: str, step: int, params, opt_state=None,
         # MODEL.NORM='bn' running statistics (their own collection, not
         # params — they are neither trained nor weight-decayed)
         payload['batch_stats'] = batch_stats
+    # multi-process runs call this from EVERY process (orbax saves are
+    # cooperative: a solo rank-0 save deadlocks on orbax's internal
+    # barriers, tests/test_multiprocess.py); orbax writes once. The
+    # sidecar files below are primary-host-only.
     ckptr.save(os.path.join(path, 'state'), payload, force=True)
     ckptr.wait_until_finished()
-    if cfg_dict is not None:
-        import json
-        with open(os.path.join(path, 'config.json'), 'w') as f:
-            json.dump(_jsonable(cfg_dict), f, indent=2)
-    # "last" pointer (reference ModelCheckpoint save_last, train.py:36-42)
-    with open(os.path.join(ckpt_dir, 'last'), 'w') as f:
-        f.write(path)
+    import jax
+    if jax.process_index() == 0:
+        if cfg_dict is not None:
+            import json
+            with open(os.path.join(path, 'config.json'), 'w') as f:
+                json.dump(_jsonable(cfg_dict), f, indent=2)
+        # "last" pointer (reference ModelCheckpoint save_last, train.py:36-42)
+        with open(os.path.join(ckpt_dir, 'last'), 'w') as f:
+            f.write(path)
     return path
 
 

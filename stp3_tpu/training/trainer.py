@@ -137,6 +137,23 @@ class Trainer:
     def param_count(self, state: TrainState) -> int:
         return sum(p.size for p in jax.tree.leaves(state.params))
 
+    def warmup_compile(self, state: TrainState, batch, rng) -> None:
+        """Multi-process only: AOT-compile the jitted steps on EVERY
+        process, then barrier, before any process dispatches. The train
+        step's gradient psum is a cross-process gloo/ICI collective whose
+        pair connect times out (~30 s) if one process executes while
+        another is still compiling — and compile skew of minutes is
+        normal. The barrier is a coordination-service (gRPC) barrier, not
+        a collective, so it tolerates that skew. ``batch`` must be the
+        shard_batch-placed global batch (compile keys on shardings)."""
+        if jax.process_count() == 1:
+            return
+        self._train_step.lower(state, batch, rng).compile()
+        self._val_forward.lower(state.params, batch,
+                                state.batch_stats).compile()
+        from stp3_tpu.parallel.mesh import coordination_barrier
+        coordination_barrier('stp3_warmup_compile')
+
     # ------------------------------------------------------------- labels
     def prepare_future_labels(self, batch) -> Dict[str, jnp.ndarray]:
         """Warp GT to the present frame (reference trainer.py:254-360).
@@ -347,10 +364,19 @@ class Trainer:
         return cast_floating(output, jnp.float32), labels
 
     def val_step(self, params, batch, batch_stats=None) -> Tuple[Dict, Dict]:
-        """Forward + metric updates (reference trainer.py:199-250)."""
+        """Forward + metric updates (reference trainer.py:199-250).
+
+        Multi-process: outputs/labels live on the GLOBAL mesh (not fully
+        addressable); each process pulls ITS batch rows to host
+        (``process_local``) and updates its own metric accumulators —
+        ``compute_metrics`` sums them across processes."""
         cfg = self.cfg
         rf = self.rf
         output, labels = self._val_forward(params, batch, batch_stats)
+        if jax.process_count() > 1:
+            from stp3_tpu.parallel.mesh import process_local
+            output = jax.tree.map(process_local, output)
+            labels = jax.tree.map(process_local, labels)
 
         seg_pred = np.asarray(output['segmentation']).argmax(-1)
         self.metric_vehicle_val.update(seg_pred[:, rf - 1:],

@@ -58,3 +58,46 @@ def test_loader_factory_wires_cfg_workers():
     assert batch['image'].shape[0] == cfg.BATCHSIZE
     trainloader.close()
     valloader.close()
+
+
+def test_rank_world_sampler_split():
+    """NumpyLoader's multi-process split: process p takes the p-th
+    contiguous batch_size rows of each global batch, so the global array
+    shard_batch assembles (process-0 rows first) is bit-identical to the
+    single-process batch; val (drop_last=False) pads by wrap-around to
+    equal full batches on every process (torch DistributedSampler
+    semantics)."""
+    import numpy as np
+
+    from stp3_tpu.datas.synthetic import NumpyLoader
+
+    class Idx:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {'i': np.array([i])}
+
+    ds = Idx()
+    single = NumpyLoader(ds, 4, shuffle=True, drop_last=True, num_workers=0)
+    r0 = NumpyLoader(ds, 2, shuffle=True, drop_last=True, num_workers=0,
+                     rank=0, world=2)
+    r1 = NumpyLoader(ds, 2, shuffle=True, drop_last=True, num_workers=0,
+                     rank=1, world=2)
+    gb = [b['i'].ravel() for b in single]
+    b0 = [b['i'].ravel() for b in r0]
+    b1 = [b['i'].ravel() for b in r1]
+    assert len(gb) == len(b0) == len(b1) == 2   # 10 samples // global 4
+    for g, a, b in zip(gb, b0, b1):
+        np.testing.assert_array_equal(np.concatenate([a, b]), g)
+
+    # val: 10 samples, gb=4 -> pad 2 by wrap-around, 3 equal batches
+    v0 = NumpyLoader(ds, 2, shuffle=False, drop_last=False, num_workers=0,
+                     rank=0, world=2)
+    v1 = NumpyLoader(ds, 2, shuffle=False, drop_last=False, num_workers=0,
+                     rank=1, world=2)
+    a = np.concatenate([b['i'].ravel() for b in v0])
+    b = np.concatenate([b['i'].ravel() for b in v1])
+    assert len(a) == len(b) == 6
+    seen = np.concatenate([a, b])
+    assert set(seen.tolist()) == set(range(10))  # every sample covered

@@ -25,7 +25,8 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 from stp3_tpu.config import get_cfg, get_parser
 from stp3_tpu.datas.dataloaders import prepare_dataloaders
-from stp3_tpu.parallel.mesh import maybe_initialize_multihost, shard_batch
+from stp3_tpu.parallel.mesh import (host_tree, host_value, is_main_process,
+                                    maybe_initialize_multihost, shard_batch)
 from stp3_tpu.training import checkpoint as ckpt_lib
 from stp3_tpu.training.trainer import Trainer
 
@@ -35,27 +36,41 @@ def main():
     cfg = get_cfg(args)
     maybe_initialize_multihost(cfg)
 
+    # rank-0 side effects (Lightning's DDP convention, reference
+    # train.py:31-42): TensorBoard, prints, and pointer files are
+    # process-0-only. Orbax checkpoint saves are COOPERATIVE — every
+    # process calls save (orbax's internal barriers deadlock a solo
+    # rank-0 save; primary-host-only file writes are orbax's job), so
+    # every process needs the SAME run directory: process 0 names it and
+    # broadcasts.
+    from stp3_tpu.parallel.mesh import broadcast_string
+    is_main = is_main_process()
     save_dir = os.path.join(
-        cfg.LOG_DIR, time.strftime('%d%B%Y_%H%M') + '_' + socket.gethostname() + '_' + cfg.TAG)
-    os.makedirs(save_dir, exist_ok=True)
+        cfg.LOG_DIR,
+        time.strftime('%d%B%Y_%H%M') + '_' + socket.gethostname() + '_' + cfg.TAG)
+    save_dir = broadcast_string(save_dir)
     ckpt_dir = os.path.join(save_dir, cfg.CHECKPOINT.DIR)
-    os.makedirs(ckpt_dir, exist_ok=True)
-
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        writer = SummaryWriter(save_dir)
-    except Exception:
-        writer = None
+    writer = None
+    if is_main:
+        os.makedirs(save_dir, exist_ok=True)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(save_dir)
+        except Exception:
+            writer = None
 
     if cfg.DEBUG.NAN_CHECK:
         jax.config.update('jax_debug_nans', True)
 
     trainloader, valloader = prepare_dataloaders(cfg)
     trainer = Trainer(cfg)
-    print(f'devices: {jax.devices()} mesh: {trainer.mesh}')
+    if is_main:
+        print(f'devices: {jax.devices()} mesh: {trainer.mesh} '
+              f'processes: {jax.process_count()}')
 
     profile_dir = None
-    if cfg.PROFILE.ENABLED:
+    if cfg.PROFILE.ENABLED and is_main:
         profile_dir = cfg.PROFILE.DIR or os.path.join(save_dir, 'profile')
         os.makedirs(profile_dir, exist_ok=True)
 
@@ -63,7 +78,9 @@ def main():
     first_batch = next(iter(trainloader))
     t0 = time.time()
     state = trainer.init_state(rng, first_batch)
-    print(f'init: {trainer.param_count(state) / 1e6:.2f}M params ({time.time() - t0:.0f}s)')
+    if is_main:
+        print(f'init: {trainer.param_count(state) / 1e6:.2f}M params '
+              f'({time.time() - t0:.0f}s)')
 
     # curriculum warm start (reference train.py:21-29)
     if cfg.PRETRAINED.LOAD_WEIGHTS and cfg.PRETRAINED.PATH:
@@ -81,7 +98,11 @@ def main():
                                                        state.batch_stats))
         print(f'resumed from {cfg.CHECKPOINT.RESUME} at step {int(state.step)}')
 
-    step = int(state.step)
+    # multi-process: compile everywhere, THEN dispatch anywhere (gloo
+    # pair connects time out across compile skew; see warmup_compile)
+    trainer.warmup_compile(state, shard_batch(first_batch, trainer.mesh), rng)
+
+    step = int(host_value(state.step))
     best_iou = -1.0
     for epoch in range(cfg.EPOCHS):
         for batch in trainloader:
@@ -96,14 +117,19 @@ def main():
                 print(f'profiler trace written to {profile_dir}')
             # host readbacks only at logging points: a float() every step
             # would serialise async dispatch over the device link
-            log_now = step % max(cfg.LOGGING_INTERVAL, 1) == 0 or step <= 3
+            log_now = (step % max(cfg.LOGGING_INTERVAL, 1) == 0 or step <= 3) \
+                and is_main
             if log_now:
                 dt = time.time() - t0
-                print(f'epoch {epoch} step {step} loss {float(loss["total"]):.4f} '
+                # host_value: replicated global-mesh arrays are not fully
+                # addressable in multi-process runs; float() would raise
+                print(f'epoch {epoch} step {step} loss '
+                      f'{float(host_value(loss["total"])):.4f} '
                       f'({dt * 1000:.0f} ms)')
             if writer is not None and log_now:
                 for k, v in loss.items():
-                    writer.add_scalar(f'step_train_loss_{k}', float(v), step)
+                    writer.add_scalar(f'step_train_loss_{k}',
+                                      float(host_value(v)), step)
             if (writer is not None and cfg.VIS_INTERVAL > 0
                     and step % cfg.VIS_INTERVAL == 0):
                 # train-time panel video (reference trainer.py:374-375)
@@ -112,6 +138,10 @@ def main():
                     # forward only — must not touch the val metric states
                     output, labels = trainer._val_forward(
                         state.params, batch, state.batch_stats)
+                    if jax.process_count() > 1:
+                        from stp3_tpu.parallel.mesh import process_local
+                        output = jax.tree.map(process_local, output)
+                        labels = jax.tree.map(process_local, labels)
                     panel = visualise_output(labels, output, cfg)
                     import torch
                     vid = torch.from_numpy(
@@ -143,6 +173,8 @@ def main():
             # every metric, every class/element — matching the reference's
             # per-metric coverage (reference trainer.py:390-448)
             arr = np.asarray(v)
+            if not is_main:
+                return
             print(f'epoch {epoch} val {prefix}: {arr}')
             if writer is None:
                 return
@@ -166,14 +198,22 @@ def main():
             for path, w in jax.tree_util.tree_flatten_with_path(state.params)[0]:
                 name = '/'.join(str(getattr(p, 'key', p)) for p in path)
                 if name.endswith('_weight') and np.ndim(w) == 0:
-                    writer.add_scalar(f'epoch_{name.replace("/", "_")}',
-                                      float(1.0 / (2.0 * np.exp(float(w)))), step)
+                    writer.add_scalar(
+                        f'epoch_{name.replace("/", "_")}',
+                        float(1.0 / (2.0 * np.exp(float(host_value(w))))), step)
 
         if cfg.CHECKPOINT.SAVE_EVERY_EPOCH:
-            path = ckpt_lib.save_checkpoint(ckpt_dir, step, state.params,
-                                            state.opt_state, cfg.convert_to_dict(),
-                                            batch_stats=state.batch_stats)
-            print(f'saved checkpoint {path}')
+            # COOPERATIVE across processes (a solo rank-0 orbax save
+            # deadlocks on orbax's internal barriers); the state is
+            # replicated so host_tree holds the full value everywhere,
+            # and orbax/our sidecar writes are primary-host-only
+            path = ckpt_lib.save_checkpoint(ckpt_dir, step,
+                                            host_tree(state.params),
+                                            host_tree(state.opt_state),
+                                            cfg.convert_to_dict(),
+                                            batch_stats=host_tree(state.batch_stats))
+            if is_main:
+                print(f'saved checkpoint {path}')
             # best-by-val-IoU pointer (the reference's ModelCheckpoint
             # monitors step_val_seg_iou_dynamic, train.py:36-42 — the
             # dynamic/vehicle class IoU)
@@ -181,9 +221,10 @@ def main():
             iou_dyn = float(iou[1]) if iou.size > 1 else float(iou[0])
             if iou_dyn > best_iou:
                 best_iou = iou_dyn
-                with open(os.path.join(ckpt_dir, 'best'), 'w') as f:
-                    f.write(path)
-                print(f'new best val vehicle IoU {iou_dyn:.4f} -> {path}')
+                if is_main:
+                    with open(os.path.join(ckpt_dir, 'best'), 'w') as f:
+                        f.write(path)
+                    print(f'new best val vehicle IoU {iou_dyn:.4f} -> {path}')
 
     print('done.')
 
