@@ -157,6 +157,8 @@ def _remat_grads(remat, n_future):
     # per-GRU-cell checkpointing (step-local recompute) composed with
     # the winning encoder stage remat
     ('encoder+cells', 2),
+    # policy remat: save conv/dot outputs, recompute elementwise gates
+    ('encoder+gates', 2),
 ])
 def test_remat_gradient_parity(remat, n_future):
     """MODEL.REMAT is pure rematerialisation: loss and gradients must
