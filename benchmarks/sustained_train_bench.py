@@ -74,27 +74,36 @@ def main():
     print(f'isolated step: {iso_ms:.1f} ms '
           f'({batch_size / iso_ms * 1000.0:.2f} samples/s)', flush=True)
 
-    for kind, use_proc in (('thread', False), ('process', True)):
+    def host_batches(loader):
+        """Endless host-batch stream (re-iterates across epochs)."""
+        while True:
+            yield from loader
+
+    for kind, use_proc, dev_prefetch in (
+            ('thread', False, False),
+            ('process', True, False),
+            # production config (train.py): thread fan-out loader +
+            # background-thread shard_batch overlapping transfer/compute
+            ('thread_devprefetch', False, True)):
         loader = NumpyLoader(ds, batch_size, shuffle=True, drop_last=True,
                              num_workers=workers, use_processes=use_proc)
-        it = iter(loader)
+        if dev_prefetch:
+            from stp3_tpu.parallel.mesh import prefetch_to_device
+            it = prefetch_to_device(host_batches(loader), mesh)
+            next_device_batch = lambda: next(it)  # noqa: E731
+        else:
+            it = host_batches(loader)
+            next_device_batch = lambda: shard_batch(next(it), mesh)  # noqa: E731
         # warm the pool/prefetch + one step so timing is steady-state
-        state, loss = trainer.train_step(state, shard_batch(next(it), mesh),
-                                         rng)
+        state, loss = trainer.train_step(state, next_device_batch(), rng)
         float(loss['total'])
         t0 = time.perf_counter()
-        done = 0
-        while done < n_steps:
-            try:
-                batch = next(it)
-            except StopIteration:
-                it = iter(loader)
-                continue
-            state, loss = trainer.train_step(state, shard_batch(batch, mesh),
-                                             rng)
-            done += 1
+        for _ in range(n_steps):
+            state, loss = trainer.train_step(state, next_device_batch(), rng)
         float(loss['total'])  # drain the async chain
         ms = (time.perf_counter() - t0) / n_steps * 1000.0
+        if dev_prefetch:
+            it.close()
         loader.close()
         print(json.dumps({
             'metric': f'sustained_train_step_{kind}_workers',
@@ -102,6 +111,11 @@ def main():
             'unit': 'ms',
             'batch': batch_size,
             'workers': workers,
+            # loader work is host-CPU-bound: on a 1-vCPU container the
+            # workers serialise no matter the pool kind/size, so read
+            # these rows against host_cpus (real TPU-VM hosts have tens
+            # of cores and parallelise the same pool)
+            'host_cpus': os.cpu_count(),
             'samples_per_sec': round(batch_size / ms * 1000.0, 2),
             'isolated_step_ms': round(iso_ms, 1),
             'loader_overhead_pct': round((ms - iso_ms) / iso_ms * 100.0, 1),

@@ -21,7 +21,7 @@ import numpy as np
 
 from stp3_tpu.utils import sampler as trajectory_sampler
 
-from stp3_tpu.utils.network import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
+
 
 # CARLA numeric -> our integer codes (reference :431-438; LANE keeps all
 # candidate trajectories in the planner)
@@ -211,8 +211,9 @@ class CarlaDataset:
                 rgb = scale_and_crop_image(
                     Image.open(os.path.join(rd, f'rgb_{cam}', frames[i] + '.png')),
                     1.0, fh)
-                arr = rgb.astype(np.float32) / 255.0
-                frame_imgs.append((arr - IMAGENET_MEAN) / IMAGENET_STD)
+                # uint8 wire format: normalisation runs in-jit
+                # (utils/network.prepare_image), not on host
+                frame_imgs.append(np.asarray(rgb, np.uint8))
                 d = scale_and_crop_image(
                     Image.open(os.path.join(rd, f'depth_{cam}', frames[i] + '.png')),
                     1.0, fh)
@@ -253,7 +254,7 @@ class CarlaDataset:
         h, w = seg[0].shape
         zeros2 = np.zeros((self.sequence_length, h, w, 2), np.float32)
         out = {
-            'image': np.stack(images).astype(np.float32),
+            'image': np.stack(images),  # uint8 wire format
             'depths': np.stack(depths).astype(np.float32),
             'intrinsics': np.tile(intrinsics, (rf, 1, 1, 1)),
             'extrinsics': np.tile(extrinsics, (rf, 1, 1, 1)),

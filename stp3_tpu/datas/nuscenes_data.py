@@ -25,7 +25,6 @@ from stp3_tpu.utils.instance import convert_instance_mask_to_center_and_offset_l
 from stp3_tpu.utils.quaternion import (quat_inverse, quat_to_rotation_matrix,
                                        quat_yaw, transform_matrix, yaw_quat)
 
-from stp3_tpu.utils.network import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 CMD_CODE = {'LEFT': 0, 'FORWARD': 1, 'RIGHT': 2}
 
@@ -186,8 +185,11 @@ class FuturePredictionDataset:
 
             img = Image.open(os.path.join(self.dataroot, camera_sample['filename']))
             img = resize_and_crop_image(img, ap['resize_dims'], ap['crop'])
-            arr = np.asarray(img, np.float32) / 255.0
-            arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+            # uint8 wire format: raw RGB on the wire, ImageNet
+            # normalisation runs in-jit (utils/network.prepare_image) —
+            # 4x fewer host->device bytes than the reference's
+            # host-normalised fp32 (NuscenesData.py `Normalize`)
+            arr = np.asarray(img, np.uint8)
 
             k = np.asarray(sensor_sample['camera_intrinsic'], np.float32).copy()
             k[0, 0] *= ap['scale_width']

@@ -5,7 +5,9 @@ loop runs without nuScenes/CARLA (SURVEY.md §4 "synthetic-dataset
 integration test"; contract from reference NuscenesData.__getitem__,
 NuscenesData.py:569-647 — §3.5 shapes, converted to channels-last):
 
-  image            (S_past, N, H, W, 3) float32
+  image            (S_past, N, H, W, 3) uint8 raw RGB (wire format;
+                   normalised in-jit by utils/network.prepare_image.
+                   float32 = already-normalised is also accepted)
   intrinsics       (S_past, N, 3, 3)
   extrinsics       (S_past, N, 4, 4) camera->ego
   depths           (S_past, N, H, W) float32 (only if gt_depth)
@@ -156,7 +158,11 @@ class SyntheticDataset:
                 E[t, n, :3, 3] = [1.5 * c_, 1.5 * s_, 1.6]
                 E[t, n, 3, 3] = 1.0
 
-        image = rng.rand(rf, self.n_cam, self.h, self.w, 3).astype(np.float32)
+        # uint8 wire format (utils/network.prepare_image normalises
+        # in-jit): 4x fewer loader/transfer bytes than fp32, and raw
+        # bytes are also ~4x cheaper to draw than random floats
+        image = rng.randint(0, 256, (rf, self.n_cam, self.h, self.w, 3),
+                            dtype=np.uint8)
 
         # --- GT trajectory in the planner frame (x lateral, y forward)
         gt = np.zeros((self.n_future + 1, 3), np.float32)
@@ -326,25 +332,33 @@ class NumpyLoader:
 
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            def load(chunk):
-                # samples loaded serially within a batch task: nested
-                # pool.map from a worker can deadlock a saturated pool
-                return collate([self.dataset[int(j)] for j in chunk])
-
-            pending = []
+            # per-SAMPLE fan-out (round-4 sustained_train_bench fix): the
+            # old per-BATCH tasks loaded samples serially inside one
+            # thread, capping concurrency at `prefetch` tasks no matter
+            # how many workers — per-sample futures keep
+            # prefetch*batch_size sample loads in flight across all
+            # workers. Futures are submitted only from this generator
+            # thread (no nested submits), so pool saturation can't
+            # deadlock. Batches are re-assembled in order.
+            pending = []          # list of list-of-futures, one per batch
             it = iter(batches)
+
+            def submit(chunk):
+                return [pool.submit(self.dataset.__getitem__, int(j))
+                        for j in chunk]
+
             # keep `prefetch` batches in flight (>=1 or the while loop
             # below never starts and the epoch silently yields nothing)
             for _ in range(max(self.prefetch, 1)):
                 chunk = next(it, None)
                 if chunk is not None:
-                    pending.append(pool.submit(load, chunk))
+                    pending.append(submit(chunk))
             while pending:
-                fut = pending.pop(0)
+                futs = pending.pop(0)
                 chunk = next(it, None)
                 if chunk is not None:
-                    pending.append(pool.submit(load, chunk))
-                yield fut.result()
+                    pending.append(submit(chunk))
+                yield collate([f.result() for f in futs])
 
     def _iter_processes(self, batches):
         """Per-SAMPLE fan-out over the spawn pool (a whole batch per task

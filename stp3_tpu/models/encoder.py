@@ -29,6 +29,13 @@ class Encoder(nn.Module):
         # NOTE: ``train`` is positional (not keyword-only) so nn.remat can
         # mark it static (models/stp3.py setup)
         assert self.downsample == 8, 'only the reference downsample=8 is supported'
+        if x.dtype == jnp.uint8:
+            # uint8 wire format fed straight to the model: normalise
+            # in-jit at fp32 (callers wanting bf16 compute prep the image
+            # themselves first — utils/network.prepare_image, as the
+            # trainer and serving wrappers do)
+            from stp3_tpu.utils.network import prepare_image
+            x = prepare_image(x, jnp.float32)
         endpoints = EfficientNetFeatures(arch=self.name_backbone)(x, train=train)
         index = 3  # log2(8)
         input_1 = endpoints[f'reduction_{index + 1}']  # stride 16

@@ -65,6 +65,68 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
+    """Wrap a host-batch iterator so ``shard_batch`` (and its
+    host->device transfer) runs in a background thread, ``size`` batches
+    ahead of the consumer.
+
+    TPU-first input pipeline: a synchronous ``device_put`` on the train
+    loop's critical path serialises transfer behind compute; prefetching
+    overlaps them (the JAX analogue of torch DataLoader's
+    ``pin_memory`` + async ``.cuda()``; flax's ``prefetch_to_device``
+    pattern). ``size=2`` is enough — one batch transferring while one
+    waits; deeper queues only add host RAM pressure (each slot pins a
+    full device-resident batch).
+
+    Exceptions from the loader/transfer are re-raised at the consuming
+    ``next()``. Closing the generator early (``.close()`` / GC) stops
+    the producer thread promptly via a poisoned slot handshake.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
+    done = object()
+    stop = threading.Event()
+    err: list = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                item = shard_batch(batch, mesh)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:       # noqa: BLE001 — re-raised below
+            err.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(done, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    thread = threading.Thread(target=producer, daemon=True,
+                              name='stp3-device-prefetch')
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 def is_main_process() -> bool:
     """True on the process that owns side effects (checkpoint writes,
     TensorBoard, the `best` pointer) — Lightning's rank-0 convention."""

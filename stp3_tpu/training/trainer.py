@@ -33,6 +33,7 @@ from stp3_tpu.ops.warp import (cumulative_warp_features,
                                cumulative_warp_features_reverse)
 from stp3_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from stp3_tpu.utils.instance import predict_instance_segmentation_and_trajectories
+from stp3_tpu.utils.network import prepare_image
 from stp3_tpu.utils.precision import cast_floating, policy_dtype
 
 
@@ -292,7 +293,7 @@ class Trainer:
         labels = self.prepare_future_labels(batch)
         rng_sample, rng_drop, rng_plan = jax.random.split(rng, 3)
         params_c = cast_floating(params, self.compute_dtype)
-        image = batch['image'].astype(self.compute_dtype)
+        image = prepare_image(batch['image'], self.compute_dtype)
         fwd_args = (image, batch['intrinsics'], batch['extrinsics'],
                     batch['future_egomotion'])
         rngs = {'sample': rng_sample, 'dropout': rng_drop}
@@ -340,7 +341,7 @@ class Trainer:
         if batch_stats is not None:
             # eval mode: running averages, collection NOT mutable
             variables['batch_stats'] = batch_stats
-        image = batch['image'].astype(self.compute_dtype)
+        image = prepare_image(batch['image'], self.compute_dtype)
         output = self.model.apply(
             variables, image, batch['intrinsics'],
             batch['extrinsics'], batch['future_egomotion'], train=False)

@@ -288,7 +288,12 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 def denormalise_image(img: np.ndarray) -> np.ndarray:
     """Channels-last normalised image -> uint8 RGB (reference
-    NormalizeInverse + ToPILImage, evaluate.py:178-181)."""
+    NormalizeInverse + ToPILImage, evaluate.py:178-181). uint8
+    wire-format images (raw RGB, see utils/network.prepare_image) are
+    already displayable and pass through."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
     x = np.asarray(img, np.float32) * _IMAGENET_STD + _IMAGENET_MEAN
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 

@@ -101,3 +101,48 @@ def test_rank_world_sampler_split():
     assert len(a) == len(b) == 6
     seen = np.concatenate([a, b])
     assert set(seen.tolist()) == set(range(10))  # every sample covered
+
+
+def test_prefetch_to_device_matches_sync_shard():
+    """The background-thread device prefetcher yields the same batches,
+    in order, as synchronous shard_batch on the loop's critical path."""
+    import jax
+
+    from stp3_tpu.parallel.mesh import make_mesh, prefetch_to_device, shard_batch
+
+    cfg = make_test_cfg()
+    ds = SyntheticDataset(cfg, n_samples=8, seed=0)
+    mesh = make_mesh(2)
+    sync = [shard_batch(b, mesh)
+            for b in NumpyLoader(ds, 2, shuffle=True, num_workers=0)]
+    pre = list(prefetch_to_device(
+        iter(NumpyLoader(ds, 2, shuffle=True, num_workers=0)), mesh))
+    assert len(pre) == len(sync) == 4
+    for a, b in zip(pre, sync):
+        assert a['image'].sharding == b['image'].sharding
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_prefetch_to_device_propagates_errors_and_closes():
+    from stp3_tpu.parallel.mesh import make_mesh, prefetch_to_device
+
+    mesh = make_mesh(1)
+
+    def bad_iter():
+        yield {'x': np.zeros((2, 3), np.float32)}
+        raise RuntimeError('loader exploded')
+
+    it = prefetch_to_device(bad_iter(), mesh)
+    next(it)
+    with pytest.raises(RuntimeError, match='loader exploded'):
+        next(it)
+
+    # early close while the producer still has items queued must not hang
+    def endless():
+        while True:
+            yield {'x': np.zeros((2, 3), np.float32)}
+
+    it = prefetch_to_device(endless(), mesh, size=1)
+    next(it)
+    it.close()

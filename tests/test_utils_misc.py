@@ -21,6 +21,24 @@ def test_normalise_denormalise_roundtrip():
     np.testing.assert_allclose(out, img / 255.0, atol=1e-5)
 
 
+def test_prepare_image_uint8_matches_host_normalise():
+    """uint8 wire format + in-jit normalisation == the reference's
+    host-side fp32 normalise (same math, device-side)."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (2, 4, 6, 3), np.uint8)
+    got = np.asarray(N.prepare_image(jnp.asarray(img), jnp.float32))
+    want = N.normalise_image(img)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_prepare_image_float_passthrough():
+    """float input = already normalised: only a dtype cast, no re-scale."""
+    x = np.linspace(-2, 2, 24, dtype=np.float32).reshape(2, 4, 3)
+    got = N.prepare_image(jnp.asarray(x), jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), x, atol=2e-2)
+
+
 def test_kalman_constant_velocity_tracks_line():
     dt = 1.0
     f = np.array([[1, dt], [0, 1]])

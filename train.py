@@ -26,7 +26,8 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 from stp3_tpu.config import get_cfg, get_parser
 from stp3_tpu.datas.dataloaders import prepare_dataloaders
 from stp3_tpu.parallel.mesh import (host_tree, host_value, is_main_process,
-                                    maybe_initialize_multihost, shard_batch)
+                                    maybe_initialize_multihost,
+                                    prefetch_to_device, shard_batch)
 from stp3_tpu.training import checkpoint as ckpt_lib
 from stp3_tpu.training.trainer import Trainer
 
@@ -105,8 +106,10 @@ def main():
     step = int(host_value(state.step))
     best_iou = -1.0
     for epoch in range(cfg.EPOCHS):
-        for batch in trainloader:
-            batch = shard_batch(batch, trainer.mesh)
+        # device prefetch: shard_batch (loader pull + host->device
+        # transfer) runs one batch ahead in a background thread so
+        # transfer overlaps the previous step's compute
+        for batch in prefetch_to_device(iter(trainloader), trainer.mesh):
             if profile_dir is not None and step == 1:
                 jax.profiler.start_trace(profile_dir)
             t0 = time.time()
@@ -152,8 +155,8 @@ def main():
 
         # validation epoch
         trainer.reset_metrics()
-        for val_idx, batch in enumerate(valloader):
-            batch = shard_batch(batch, trainer.mesh)
+        for val_idx, batch in enumerate(
+                prefetch_to_device(iter(valloader), trainer.mesh)):
             output, labels = trainer.val_step(state.params, batch,
                                               state.batch_stats)
             if val_idx == 0 and writer is not None:
