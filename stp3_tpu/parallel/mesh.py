@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -81,7 +83,16 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
     Exceptions from the loader/transfer are re-raised at the consuming
     ``next()``. Closing the generator early (``.close()`` / GC) stops
     the producer thread promptly via a poisoned slot handshake.
+
+    ``size=0`` degrades to a synchronous pass-through (shard_batch on the
+    caller's thread, no producer thread) — see ``default_prefetch_size``
+    for when that is the right call.
     """
+    if size <= 0:
+        for batch in iterator:
+            yield shard_batch(batch, mesh)
+        return
+
     import queue
     import threading
 
@@ -125,6 +136,23 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
             yield item
     finally:
         stop.set()
+
+
+def default_prefetch_size() -> int:
+    """Device-prefetch depth for training loops: 2 on multi-core hosts,
+    0 (synchronous pass-through) on single-core hosts.
+
+    Measured (round 4, sustained_train_bench @ batch 2 on the 1-vCPU
+    container): the background device_put thread STEALS the only core
+    from the loader's sample-generation threads — 808.6 ms/step with
+    prefetch vs 601.6 ms without. On a real multi-core TPU-VM host the
+    producer thread runs on a spare core and the transfer overlap is
+    free. Override with ``STP3_DEVICE_PREFETCH=<n>`` (0 disables).
+    """
+    env = os.environ.get('STP3_DEVICE_PREFETCH')
+    if env is not None:
+        return int(env)
+    return 2 if (os.cpu_count() or 1) > 1 else 0
 
 
 def is_main_process() -> bool:

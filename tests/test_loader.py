@@ -146,3 +146,34 @@ def test_prefetch_to_device_propagates_errors_and_closes():
     it = prefetch_to_device(endless(), mesh, size=1)
     next(it)
     it.close()
+
+def test_prefetch_to_device_size_zero_passthrough(monkeypatch):
+    """size=0 is the single-core degrade mode: synchronous shard_batch,
+    no producer thread, identical stream. default_prefetch_size picks it
+    on 1-CPU hosts and honors the env override."""
+    import threading
+
+    from stp3_tpu.parallel.mesh import (default_prefetch_size, make_mesh,
+                                        prefetch_to_device)
+
+    cfg = make_test_cfg()
+    ds = SyntheticDataset(cfg, n_samples=4, seed=0)
+    mesh = make_mesh(2)
+    before = threading.active_count()
+    got = list(prefetch_to_device(
+        iter(NumpyLoader(ds, 2, shuffle=False, num_workers=0)), mesh, size=0))
+    assert threading.active_count() == before  # no producer thread spawned
+    want = list(prefetch_to_device(
+        iter(NumpyLoader(ds, 2, shuffle=False, num_workers=0)), mesh))
+    assert len(got) == len(want) == 2
+    for a, b in zip(got, want):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    monkeypatch.setenv('STP3_DEVICE_PREFETCH', '0')
+    assert default_prefetch_size() == 0
+    monkeypatch.setenv('STP3_DEVICE_PREFETCH', '3')
+    assert default_prefetch_size() == 3
+    monkeypatch.delenv('STP3_DEVICE_PREFETCH')
+    import os as _os
+    assert default_prefetch_size() == (2 if (_os.cpu_count() or 1) > 1 else 0)

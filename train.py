@@ -25,7 +25,8 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 from stp3_tpu.config import get_cfg, get_parser
 from stp3_tpu.datas.dataloaders import prepare_dataloaders
-from stp3_tpu.parallel.mesh import (host_tree, host_value, is_main_process,
+from stp3_tpu.parallel.mesh import (default_prefetch_size, host_tree,
+                                    host_value, is_main_process,
                                     maybe_initialize_multihost,
                                     prefetch_to_device, shard_batch)
 from stp3_tpu.training import checkpoint as ckpt_lib
@@ -108,8 +109,10 @@ def main():
     for epoch in range(cfg.EPOCHS):
         # device prefetch: shard_batch (loader pull + host->device
         # transfer) runs one batch ahead in a background thread so
-        # transfer overlaps the previous step's compute
-        for batch in prefetch_to_device(iter(trainloader), trainer.mesh):
+        # transfer overlaps the previous step's compute (auto-off on
+        # single-core hosts — see mesh.default_prefetch_size)
+        for batch in prefetch_to_device(iter(trainloader), trainer.mesh,
+                                        size=default_prefetch_size()):
             if profile_dir is not None and step == 1:
                 jax.profiler.start_trace(profile_dir)
             t0 = time.time()
@@ -156,7 +159,8 @@ def main():
         # validation epoch
         trainer.reset_metrics()
         for val_idx, batch in enumerate(
-                prefetch_to_device(iter(valloader), trainer.mesh)):
+                prefetch_to_device(iter(valloader), trainer.mesh,
+                                   size=default_prefetch_size())):
             output, labels = trainer.val_step(state.params, batch,
                                               state.batch_stats)
             if val_idx == 0 and writer is not None:
