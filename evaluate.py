@@ -82,7 +82,7 @@ def evaluate(checkpoint_path: str, dataroot: str = '', extra_opts=None,
         os.makedirs(save_path, exist_ok=True)
 
     for index, batch in enumerate(valloader):
-        output, labels = trainer._val_forward(params, batch, batch_stats)
+        output, labels = trainer.val_forward(params, batch, batch_stats)
         seg_pred = np.asarray(output['segmentation']).argmax(-1)
         metric_vehicle.update(seg_pred[:, rf - 1:],
                               np.asarray(labels['segmentation'])[:, rf - 1:])

@@ -53,9 +53,10 @@ def main() -> None:
     cfg.MODEL.NORM = 'bn_frozen'
     if ti.apply_cam_front_parity(cfg):
         print('NOTE: rig front camera is not at index 1 (CARLA order) — '
-              'set PLANNING.CAM_FRONT_PARITY=True so the imported planner '
-              'consumes the same camera feature the reference fed it '
-              '(reference stp3.py:203 hardcodes index 1; see PARITY.md)')
+              'PLANNING.CAM_FRONT_PARITY=True was auto-set (and saved in '
+              'the checkpoint config) so the imported planner consumes the '
+              'same camera feature the reference fed it (reference '
+              'stp3.py:203 hardcodes index 1; see PARITY.md)')
     mcfg = STP3Config.from_cfg(cfg)   # also sets the process default norm
 
     params, report = ti.import_state_dict(sd, mcfg, strict=False)

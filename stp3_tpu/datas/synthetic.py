@@ -294,6 +294,11 @@ class NumpyLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.world > 1:
+            # per-process batch count (mirrors _batches: global batches of
+            # batch_size*world rows; non-drop_last pads up to a full one)
+            gb = self.batch_size * self.world
+            return n // gb if self.drop_last else -(-n // gb)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches(self):

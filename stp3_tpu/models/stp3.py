@@ -228,6 +228,25 @@ def lift_uniform(feat: jnp.ndarray, depth_channels: int) -> jnp.ndarray:
                             feat.shape[:-3] + (depth_channels,) + feat.shape[-3:])
 
 
+def context_depth_rays(cfg, feat, depth):
+    """Ray-major (B, rays, C) context + (B, rays, D) depth distribution
+    for the static splat plans (ray = cam*Hf*Wf + h*Wf + w).
+
+    feat (B, N, Hf, Wf, C); depth the encoder's flat (B*N, Hf, Wf, D)
+    logits (unused when the depth distribution is disabled — uniform
+    ones, matching lift_uniform up to the splat's own normalisation).
+    One definition shared by ``STP3.splat_single_frame_static`` and the
+    camera-parallel shard front (parallel/serving.py), so the static
+    splat's ray layout and depth softmax cannot drift between them."""
+    b = feat.shape[0]
+    ctx = feat.reshape(b, -1, feat.shape[-1])
+    if cfg.use_depth_distribution:
+        dp = jax.nn.softmax(depth, axis=-1).reshape(b, -1, cfg.depth_channels)
+    else:
+        dp = jnp.ones(ctx.shape[:-1] + (cfg.depth_channels,), ctx.dtype)
+    return ctx, dp
+
+
 class STP3(nn.Module):
     cfg: STP3Config
 
@@ -581,13 +600,7 @@ class STP3(nn.Module):
         feat, depth = self.encoder(flat, train)
         feat = feat.reshape(bs, n, *feat.shape[1:])           # (B,N,Hf,Wf,C)
         cam_front = feat[:, c.cam_front_index] if c.planning_enabled else None
-        ch = feat.shape[-1]
-        ctx = feat.reshape(bs, -1, ch)                        # (B, rays, C)
-        if c.use_depth_distribution:
-            depth = depth.reshape(bs, n, *depth.shape[1:])
-            dp = jax.nn.softmax(depth, axis=-1).reshape(bs, -1, c.depth_channels)
-        else:
-            dp = jnp.ones(ctx.shape[:-1] + (c.depth_channels,), ctx.dtype)
+        ctx, dp = context_depth_rays(c, feat, depth)
         # full (nx, ny, nz) from the config bounds — a hard-coded nz=1 would
         # silently DROP cells of an nz>1 plan (segment ids past ncells)
         _, _, dim = calculate_birds_eye_view_parameters(

@@ -203,6 +203,24 @@ class ColumnSplatPlan:
         nx, ny, nz = self.bev_dimension
         return nx * ny * nz
 
+    def host_arrays(self):
+        """NumPy twin of ``device_arrays`` — same pytree, host-resident.
+        Use when the leaves will be stacked/re-laid-out before placement
+        (parallel/serving.py stacks per-shard plans host-side and ships
+        them with ONE sharded device_put; stacking device leaves would
+        upload to the default device first and re-transfer)."""
+        d = self.depth_bins
+        bins = np.arange(d, dtype=np.int32)
+        mask = ((bins >= self.lo[..., None]) & (bins < self.hi[..., None]))
+        # (ncols, hf, rmax, D) bool; empty slots (lo == hi) are all-False
+        flat_cells = self.cells.reshape(-1)
+        perm = np.argsort(flat_cells, kind='stable').astype(np.int32)
+        return {
+            'mask': mask,
+            'perm': perm,
+            'cells_sorted': flat_cells[perm],
+        }
+
     def device_arrays(self):
         """Index pytree for column_splat — pass INTO jit as an argument
         (don't bake ~MB constants into the program; CLAUDE.md).
@@ -213,17 +231,8 @@ class ColumnSplatPlan:
         while contracting a dense mask against dp is a ~23 M-MAC einsum
         (~0.5 ms) — the classic gather->matmul trade (measured in
         benchmarks/static_splat_bench.py)."""
-        d = self.depth_bins
-        bins = np.arange(d, dtype=np.int32)
-        mask = ((bins >= self.lo[..., None]) & (bins < self.hi[..., None]))
-        # (ncols, hf, rmax, D) bool; empty slots (lo == hi) are all-False
-        flat_cells = self.cells.reshape(-1)
-        perm = np.argsort(flat_cells, kind='stable').astype(np.int32)
-        return {
-            'mask': jnp.asarray(mask),
-            'perm': jnp.asarray(perm),
-            'cells_sorted': jnp.asarray(flat_cells[perm]),
-        }
+        import jax
+        return jax.tree.map(jnp.asarray, self.host_arrays())
 
 
 def build_column_splat_plan(frustum, intrinsics, extrinsics, bev_resolution,

@@ -53,7 +53,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from stp3_tpu.models.stp3 import STP3, lift_depth_context, lift_uniform
+from stp3_tpu.models.stp3 import (STP3, context_depth_rays,
+                                  lift_depth_context, lift_uniform)
 from stp3_tpu.ops.bev_pool import project_to_birds_eye_view
 from stp3_tpu.ops.geometry import (calculate_birds_eye_view_parameters,
                                    create_frustum, get_geometry)
@@ -82,6 +83,24 @@ def _shard_splat_method() -> str:
                 f'{_KNOWN_SPLAT_METHODS}')
         return env
     return 'pallas2b' if jax.default_backend() == 'tpu' else 'scatter'
+
+
+def _shard_cam_front(cfg, feat_present):
+    """Planner front-camera feature under the 'cam' shard axis: the front
+    camera is ONE global index (cfg.cam_front_index — already
+    CAM_FRONT_PARITY-resolved), so the owning shard contributes its
+    present-frame context feature via a global-index one-hot and a psum
+    merges (the other shards contribute zeros). feat_present is the
+    shard-local present-frame feature (B, nl, Hf, Wf, C). Shared by all
+    three shard fronts so the selection cannot drift from the
+    single-device path the parity tests compare against."""
+    if not cfg.planning_enabled:
+        return None
+    nl = feat_present.shape[1]
+    gidx = lax.axis_index('cam') * nl + jnp.arange(nl)
+    mask = (gidx == cfg.cam_front_index).astype(feat_present.dtype)
+    return lax.psum(
+        jnp.einsum('n,bnhwc->bhwc', mask, feat_present), 'cam')
 
 
 def cam_mesh(n_shards: int, devices=None) -> Mesh:
@@ -123,14 +142,7 @@ def make_cam_parallel_forward(model: STP3, mesh: Mesh):
                                   method=lambda m, x, t: m.encoder(x, t))
         feat = feat.reshape(b, s, nl, *feat.shape[1:])      # (B,S,nl,Hf,Wf,C)
 
-        cam_front = None
-        if c.planning_enabled:
-            # the front camera is ONE global index: the owning shard
-            # contributes its present-frame context feature, others zeros
-            gidx = lax.axis_index('cam') * nl + jnp.arange(nl)
-            mask = (gidx == c.cam_front_index).astype(feat.dtype)
-            cam_front = lax.psum(
-                jnp.einsum('n,bnhwc->bhwc', mask, feat[:, -1]), 'cam')
+        cam_front = _shard_cam_front(c, feat[:, -1])
 
         if c.use_depth_distribution:
             depth = depth.reshape(b, s, nl, *depth.shape[1:])  # (B,S,nl,Hf,Wf,D)
@@ -209,12 +221,7 @@ def make_cam_parallel_serve_step(model: STP3, mesh: Mesh):
                                   method=lambda m, x, t: m.encoder(x, t))
         feat = feat.reshape(b, nl, *feat.shape[1:])          # (B,nl,Hf,Wf,C)
 
-        cam_front = None
-        if c.planning_enabled:
-            gidx = lax.axis_index('cam') * nl + jnp.arange(nl)
-            mask = (gidx == c.cam_front_index).astype(feat.dtype)
-            cam_front = lax.psum(
-                jnp.einsum('n,bnhwc->bhwc', mask, feat), 'cam')
+        cam_front = _shard_cam_front(c, feat)
 
         if c.use_depth_distribution:
             depth = depth.reshape(b, nl, *depth.shape[1:])
@@ -295,8 +302,12 @@ def make_cam_parallel_serve_step_static(model: STP3, mesh: Mesh,
         extrinsics[i * nl:(i + 1) * nl], res, start, dim)
         for i in range(n_shards)]
     rmax = max(p.cells.shape[1] for p in plans)
-    arrays = [pad_column_plan(p, rmax).device_arrays() for p in plans]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *arrays)
+    # stack HOST-side and place with one sharded device_put: stacking
+    # device leaves would upload each multi-MB mask to the default
+    # device, dispatch the stack remotely, then re-transfer to the mesh
+    # layout (CLAUDE.md: keep one-time plan precompute off the tunnel)
+    arrays = [pad_column_plan(p, rmax).host_arrays() for p in plans]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *arrays)
     plan_sharded = jax.device_put(stacked, NamedSharding(mesh, P('cam')))
 
     def _front(variables, image, plan_arrays):
@@ -308,21 +319,11 @@ def make_cam_parallel_serve_step_static(model: STP3, mesh: Mesh,
                                   method=lambda m, x, t: m.encoder(x, t))
         feat = feat.reshape(b, nl_, *feat.shape[1:])         # (B,nl,Hf,Wf,C)
 
-        cam_front = None
-        if c.planning_enabled:
-            gidx = lax.axis_index('cam') * nl_ + jnp.arange(nl_)
-            mask = (gidx == c.cam_front_index).astype(feat.dtype)
-            cam_front = lax.psum(
-                jnp.einsum('n,bnhwc->bhwc', mask, feat), 'cam')
+        cam_front = _shard_cam_front(c, feat)
 
-        ch = feat.shape[-1]
-        ctx = feat.reshape(b, -1, ch)                        # (B, rays, C)
-        if c.use_depth_distribution:
-            depth = depth.reshape(b, nl_, *depth.shape[1:])
-            dp = jax.nn.softmax(depth, axis=-1).reshape(
-                b, -1, c.depth_channels)
-        else:
-            dp = jnp.ones(ctx.shape[:-1] + (c.depth_channels,), ctx.dtype)
+        # ray-major context + depth distribution, shared with the
+        # single-device static path (models/stp3.py) so they cannot drift
+        ctx, dp = context_depth_rays(c, feat, depth)
         bev = column_splat(ctx, dp, plan_arrays,
                            (nl_, hf, wf, c.depth_channels, bev_dim))
         return lax.psum(bev, 'cam'), cam_front

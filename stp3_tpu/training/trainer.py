@@ -107,6 +107,11 @@ class Trainer:
         # val follows whatever sharding shard_batch chose (the final val
         # batch may be replicated when not divisible by the mesh)
         self._val_forward = jax.jit(self._val_forward_impl)
+        # AOT executables kept by warmup_compile (multi-process only);
+        # dispatched directly so the post-barrier first step does not
+        # re-trace/re-compile (see warmup_compile docstring)
+        self._train_step_aot = None
+        self._val_forward_aot = None
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: jax.Array, batch: Dict[str, np.ndarray]) -> TrainState:
@@ -145,14 +150,23 @@ class Trainer:
         pair connect times out (~30 s) if one process executes while
         another is still compiling — and compile skew of minutes is
         normal. The barrier is a coordination-service (gRPC) barrier, not
-        a collective, so it tolerates that skew. ``batch`` must be the
-        shard_batch-placed global batch (compile keys on shardings)."""
+        a collective, so it tolerates that skew. ``batch`` is a HOST
+        batch; it is shard_batch-placed here (after the single-process
+        early return, so single-process startup pays no transfer).
+
+        The compiled executables are KEPT and dispatched directly by
+        ``train_step``/``val_step`` — ``jit.lower().compile()`` results
+        do not populate the jit dispatch cache, so discarding them would
+        re-trace and re-compile (or at best cache-deserialize) AFTER the
+        barrier, re-opening the compile-skew window the barrier closed."""
         if jax.process_count() == 1:
             return
-        self._train_step.lower(state, batch, rng).compile()
-        self._val_forward.lower(state.params, batch,
-                                state.batch_stats).compile()
-        from stp3_tpu.parallel.mesh import coordination_barrier
+        from stp3_tpu.parallel.mesh import coordination_barrier, shard_batch
+        batch = shard_batch(batch, self.mesh)
+        self._train_step_aot = self._train_step.lower(
+            state, batch, rng).compile()
+        self._val_forward_aot = self._val_forward.lower(
+            state.params, batch, state.batch_stats).compile()
         coordination_barrier('stp3_warmup_compile')
 
     # ------------------------------------------------------------- labels
@@ -332,6 +346,8 @@ class Trainer:
         return state, loss_dict
 
     def train_step(self, state, batch, rng):
+        if self._train_step_aot is not None:
+            return self._train_step_aot(state, batch, rng)
         return self._train_step(state, batch, rng)
 
     def _val_forward_impl(self, params, batch, batch_stats=None):
@@ -364,6 +380,18 @@ class Trainer:
             output['final_traj'] = final_traj
         return cast_floating(output, jnp.float32), labels
 
+    def val_forward(self, params, batch, batch_stats=None):
+        """Forward-only dispatch, preferring the AOT executable kept by
+        warmup_compile. Falls back to jit dispatch when the batch
+        signature differs from the warmup batch (e.g. the final val
+        batch is replicated when not divisible by the mesh)."""
+        if self._val_forward_aot is not None:
+            try:
+                return self._val_forward_aot(params, batch, batch_stats)
+            except TypeError:
+                pass
+        return self._val_forward(params, batch, batch_stats)
+
     def val_step(self, params, batch, batch_stats=None) -> Tuple[Dict, Dict]:
         """Forward + metric updates (reference trainer.py:199-250).
 
@@ -373,7 +401,7 @@ class Trainer:
         ``compute_metrics`` sums them across processes."""
         cfg = self.cfg
         rf = self.rf
-        output, labels = self._val_forward(params, batch, batch_stats)
+        output, labels = self.val_forward(params, batch, batch_stats)
         if jax.process_count() > 1:
             from stp3_tpu.parallel.mesh import process_local
             output = jax.tree.map(process_local, output)

@@ -282,20 +282,20 @@ def plot_planning(ax, trajs: np.ndarray, gt_traj: np.ndarray,
     ax.set_ylabel('y (m)')
 
 
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def denormalise_image(img: np.ndarray) -> np.ndarray:
     """Channels-last normalised image -> uint8 RGB (reference
     NormalizeInverse + ToPILImage, evaluate.py:178-181). uint8
     wire-format images (raw RGB, see utils/network.prepare_image) are
-    already displayable and pass through."""
+    already displayable and pass through. The float branch delegates to
+    utils/network.denormalise_image (the single owner of the inverse
+    normalisation) and only converts its [0, 1] float to uint8."""
     img = np.asarray(img)
     if img.dtype == np.uint8:
         return img
-    x = np.asarray(img, np.float32) * _IMAGENET_STD + _IMAGENET_MEAN
-    return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+    from stp3_tpu.utils.network import denormalise_image as denorm_float
+    return (denorm_float(img) * 255).astype(np.uint8)
 
 
 def save_eval_figure(output: Dict, labels: Dict, batch: Dict, n_present: int,

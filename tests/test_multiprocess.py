@@ -46,7 +46,11 @@ BASE_ARGS = [
     'PROBABILISTIC.ENABLED', 'False', 'PLANNING.ENABLED', 'False',
     'INSTANCE_SEG.ENABLED', 'False', 'INSTANCE_FLOW.ENABLED', 'False',
     'EPOCHS', '1', 'N_WORKERS', '0', 'LOGGING_INTERVAL', '1',
-    'VIS_INTERVAL', '0', 'PRECISION', '32',
+    # VIS_INTERVAL 2: one train-vis forward mid-epoch — the vis forward
+    # is a global-mesh SPMD program that EVERY process must dispatch
+    # (a rank-0-only dispatch wedges the other rank at the next
+    # collective; this test would time out), while only rank 0 renders
+    'VIS_INTERVAL', '2', 'PRECISION', '32',
 ]
 
 

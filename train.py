@@ -28,7 +28,7 @@ from stp3_tpu.datas.dataloaders import prepare_dataloaders
 from stp3_tpu.parallel.mesh import (default_prefetch_size, host_tree,
                                     host_value, is_main_process,
                                     maybe_initialize_multihost,
-                                    prefetch_to_device, shard_batch)
+                                    prefetch_to_device)
 from stp3_tpu.training import checkpoint as ckpt_lib
 from stp3_tpu.training.trainer import Trainer
 
@@ -101,8 +101,10 @@ def main():
         print(f'resumed from {cfg.CHECKPOINT.RESUME} at step {int(state.step)}')
 
     # multi-process: compile everywhere, THEN dispatch anywhere (gloo
-    # pair connects time out across compile skew; see warmup_compile)
-    trainer.warmup_compile(state, shard_batch(first_batch, trainer.mesh), rng)
+    # pair connects time out across compile skew; see warmup_compile —
+    # which shards the host batch itself, after its single-process
+    # early-return, so single-process startup pays no wasted transfer)
+    trainer.warmup_compile(state, first_batch, rng)
 
     step = int(host_value(state.step))
     best_iou = -1.0
@@ -136,23 +138,31 @@ def main():
                 for k, v in loss.items():
                     writer.add_scalar(f'step_train_loss_{k}',
                                       float(host_value(v)), step)
-            if (writer is not None and cfg.VIS_INTERVAL > 0
-                    and step % cfg.VIS_INTERVAL == 0):
-                # train-time panel video (reference trainer.py:374-375)
+            vis_now = (cfg.VIS_INTERVAL > 0 and step % cfg.VIS_INTERVAL == 0
+                       and (writer is not None or jax.process_count() > 1))
+            if vis_now:
+                # train-time panel video (reference trainer.py:374-375).
+                # The forward is a global-mesh SPMD program, so EVERY
+                # process must dispatch it — a rank-0-only dispatch would
+                # wedge the others at the next collective; only the main
+                # process renders and writes.
                 try:
                     from stp3_tpu.utils.visualisation import visualise_output
                     # forward only — must not touch the val metric states
-                    output, labels = trainer._val_forward(
+                    output, labels = trainer.val_forward(
                         state.params, batch, state.batch_stats)
                     if jax.process_count() > 1:
                         from stp3_tpu.parallel.mesh import process_local
                         output = jax.tree.map(process_local, output)
                         labels = jax.tree.map(process_local, labels)
-                    panel = visualise_output(labels, output, cfg)
-                    import torch
-                    vid = torch.from_numpy(
-                        np.ascontiguousarray(panel.transpose(0, 3, 1, 2))[None])
-                    writer.add_video('train_outputs', vid, global_step=step, fps=2)
+                    if writer is not None:
+                        panel = visualise_output(labels, output, cfg)
+                        import torch
+                        vid = torch.from_numpy(
+                            np.ascontiguousarray(
+                                panel.transpose(0, 3, 1, 2))[None])
+                        writer.add_video('train_outputs', vid,
+                                         global_step=step, fps=2)
                 except Exception as exc:
                     print(f'train visualisation failed: {exc}')
 
