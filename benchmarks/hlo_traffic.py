@@ -183,10 +183,21 @@ def audit(hlo_text: str):
     called computations (while/cond regions, wrapped_* helpers) are
     represented by their call-site instruction's output bytes — their
     interiors are NOT expanded (a while body's per-iteration writes are
-    reported separately by ``region_write_totals``)."""
+    reported separately by ``region_write_totals``).
+
+    Owns the exhausted-chain accounting ('no silent caps'): the counter
+    is reset here and a warning is printed on exhaustion, so EVERY
+    caller (main() below, train_hlo_traffic.py) reports under-attributed
+    rows without having to remember reset_exhausted_chains()."""
+    import sys
+    reset_exhausted_chains()
     for _, is_entry, rows in _iter_computations(hlo_text):
         if is_entry:
             yield from rows
+    if _EXHAUSTED_CHAINS:
+        print(f'WARNING: {_EXHAUSTED_CHAINS} rows exhausted the '
+              f'{_CHAIN_HOP_BUDGET}-hop producer-chain budget and fell '
+              f'back to \'?\' attribution', file=sys.stderr)
 
 
 def region_write_totals(hlo_text: str):
@@ -265,15 +276,10 @@ def main():
     print(f'bytes accessed/step: {byt/1e9:8.1f} GB    '
           f'(HBM floor {byt/819e9*1e3:5.1f} ms @819 GB/s)')
 
-    reset_exhausted_chains()
-    rows = list(audit(compiled.as_text()))
-    total_w = sum(r[2] for r in rows)
+    rows = list(audit(compiled.as_text()))   # audit resets + reports
+    total_w = sum(r[2] for r in rows)        # exhausted chains itself
     print(f'materialized writes: {total_w/1e9:8.1f} GB '
           f'({len(rows)} top-level instructions)')
-    if exhausted_chains():
-        print(f'WARNING: {exhausted_chains()} rows exhausted the '
-              f'{_CHAIN_HOP_BUDGET}-hop producer-chain budget and fell '
-              f'back to \'?\' attribution')
 
     by_stage = collections.Counter()
     by_opcode = collections.Counter()

@@ -231,7 +231,6 @@ class ColumnSplatPlan:
         while contracting a dense mask against dp is a ~23 M-MAC einsum
         (~0.5 ms) — the classic gather->matmul trade (measured in
         benchmarks/static_splat_bench.py)."""
-        import jax
         return jax.tree.map(jnp.asarray, self.host_arrays())
 
 

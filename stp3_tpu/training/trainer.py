@@ -383,12 +383,14 @@ class Trainer:
     def val_forward(self, params, batch, batch_stats=None):
         """Forward-only dispatch, preferring the AOT executable kept by
         warmup_compile. Falls back to jit dispatch when the batch
-        signature differs from the warmup batch (e.g. the final val
-        batch is replicated when not divisible by the mesh)."""
+        signature differs from the warmup batch: shape/dtype/pytree
+        mismatches raise TypeError, but an input-SHARDING mismatch (the
+        final val batch is replicated when not divisible by the mesh —
+        the common case here) raises ValueError."""
         if self._val_forward_aot is not None:
             try:
                 return self._val_forward_aot(params, batch, batch_stats)
-            except TypeError:
+            except (TypeError, ValueError):
                 pass
         return self._val_forward(params, batch, batch_stats)
 

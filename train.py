@@ -61,6 +61,11 @@ def main():
             writer = SummaryWriter(save_dir)
         except Exception:
             writer = None
+    # rank 0's writer existence, broadcast once: the train-vis forward is
+    # a global-mesh SPMD program every process must dispatch together, but
+    # if NO process renders (e.g. tensorboard import failed on rank 0)
+    # the whole fleet would burn a discarded forward per VIS_INTERVAL
+    have_writer = broadcast_string('1' if writer is not None else '0') == '1'
 
     if cfg.DEBUG.NAN_CHECK:
         jax.config.update('jax_debug_nans', True)
@@ -139,7 +144,7 @@ def main():
                     writer.add_scalar(f'step_train_loss_{k}',
                                       float(host_value(v)), step)
             vis_now = (cfg.VIS_INTERVAL > 0 and step % cfg.VIS_INTERVAL == 0
-                       and (writer is not None or jax.process_count() > 1))
+                       and have_writer)
             if vis_now:
                 # train-time panel video (reference trainer.py:374-375).
                 # The forward is a global-mesh SPMD program, so EVERY
