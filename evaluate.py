@@ -82,6 +82,11 @@ def evaluate(checkpoint_path: str, dataroot: str = '', extra_opts=None,
         os.makedirs(save_path, exist_ok=True)
 
     for index, batch in enumerate(valloader):
+        batch = dict(batch)
+        # per-row padding mask (always all-true here: single-process eval
+        # has no wrap-around padding) — popped so the forward's input
+        # pytree stays the model-batch contract
+        batch.pop('valid', None)
         output, labels = trainer.val_forward(params, batch, batch_stats)
         seg_pred = np.asarray(output['segmentation']).argmax(-1)
         metric_vehicle.update(seg_pred[:, rf - 1:],

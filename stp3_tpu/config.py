@@ -131,6 +131,12 @@ def _defaults() -> CfgNode:
     _C.DATASET.IGNORE_INDEX = 255
     _C.DATASET.FILTER_INVISIBLE_VEHICLES = True
     _C.DATASET.SAVE_DIR = 'datas'
+    # TPU-only key (no reference counterpart): synthetic val-set size
+    # override, 0 = the default max(4, n_train // 4). Used by the
+    # multi-process integration test to force a val set that does NOT
+    # divide the global batch (exercises the padding-mask exact-metrics
+    # path, datas/synthetic.NumpyLoader with_valid_mask).
+    _C.DATASET.VAL_SAMPLES = 0
 
     _C.TIME_RECEPTIVE_FIELD = 3
     _C.N_FUTURE_FRAMES = 4

@@ -22,7 +22,8 @@ def prepare_dataloaders(cfg, return_dataset: bool = False, split: str = 'both'):
         n_train = 10 if cfg.DATASET.VERSION == 'mini' else 64
         if need_train:
             traindata = SyntheticDataset(cfg, n_samples=n_train, seed=0)
-        valdata = SyntheticDataset(cfg, n_samples=max(4, n_train // 4), seed=1)
+        n_val = int(cfg.DATASET.get('VAL_SAMPLES', 0)) or max(4, n_train // 4)
+        valdata = SyntheticDataset(cfg, n_samples=n_val, seed=1)
     elif name == 'nuscenes':
         from stp3_tpu.datas.nuscenes_data import FuturePredictionDataset, make_nusc
         nusc = make_nusc(cfg)
@@ -50,8 +51,13 @@ def prepare_dataloaders(cfg, return_dataset: bool = False, split: str = 'both'):
     trainloader = (NumpyLoader(traindata, cfg.BATCHSIZE, shuffle=True,
                                drop_last=True, **kw)
                    if traindata is not None else None)
+    # with_valid_mask: a ragged multi-process val tail is padded with
+    # wrap-around duplicates (NumpyLoader._batches); the mask lets
+    # Trainer.val_step exclude them from the metric accumulators, so the
+    # multi-process metrics equal the single-process run EXACTLY (the
+    # torch DistributedSampler double-counts them)
     valloader = NumpyLoader(valdata, cfg.BATCHSIZE, shuffle=False,
-                            drop_last=False, **kw)
+                            drop_last=False, with_valid_mask=True, **kw)
     if return_dataset:
         return trainloader, valloader, traindata, valdata
     return trainloader, valloader

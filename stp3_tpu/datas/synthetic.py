@@ -249,7 +249,8 @@ class NumpyLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, seed: int = 0, num_workers: int = 4,
                  prefetch: int = 2, use_processes: bool = False,
-                 rank: int = 0, world: int = 1):
+                 rank: int = 0, world: int = 1,
+                 with_valid_mask: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -269,6 +270,12 @@ class NumpyLoader:
         # deadlock on a ragged tail).
         self.rank = rank
         self.world = world
+        # with_valid_mask: attach a per-row bool 'valid' key to every
+        # yielded batch, False for the wrap-around-padded duplicate rows
+        # the multi-process split adds to ragged val tails — so metric
+        # accumulators can skip them (exact val metrics, where torch
+        # DistributedSampler double-counts)
+        self.with_valid_mask = with_valid_mask
         self._pool = None
 
     # -- process-pool plumbing ------------------------------------------
@@ -302,6 +309,9 @@ class NumpyLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches(self):
+        """-> (index chunks, per-row validity masks). A row is invalid iff
+        it is a wrap-around padding duplicate (multi-process ragged val
+        tail); single-process batches and drop_last batches are all-valid."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
@@ -310,7 +320,8 @@ class NumpyLoader:
             gb = self.batch_size * self.world
             if self.drop_last:
                 idx = idx[:len(idx) // gb * gb]
-            else:
+            n_real = len(idx)
+            if not self.drop_last:
                 # wrap-around pad to equal full batches on every process
                 # (torch DistributedSampler semantics: a few duplicated
                 # val samples beat a cross-process ragged-tail deadlock)
@@ -319,20 +330,31 @@ class NumpyLoader:
                     reps = -(-pad // max(len(idx), 1))
                     idx = np.concatenate([idx, np.tile(idx, reps)[:pad]])
             lo = self.rank * self.batch_size
-            return [idx[i + lo:i + lo + self.batch_size]
-                    for i in range(0, len(idx), gb)]
+            chunks, masks = [], []
+            for i in range(0, len(idx), gb):
+                chunks.append(idx[i + lo:i + lo + self.batch_size])
+                masks.append(np.arange(i + lo, i + lo + self.batch_size) < n_real)
+            return chunks, masks
         end = (len(idx) // self.batch_size * self.batch_size
                if self.drop_last else len(idx))
-        return [idx[i:i + self.batch_size] for i in range(0, end, self.batch_size)]
+        chunks = [idx[i:i + self.batch_size] for i in range(0, end, self.batch_size)]
+        return chunks, [np.ones(len(c), bool) for c in chunks]
+
+    def _attach_mask(self, batch, mask):
+        if self.with_valid_mask:
+            batch = dict(batch)
+            batch['valid'] = mask
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        batches = self._batches()
+        batches, masks = self._batches()
         if self.num_workers <= 0:
-            for chunk in batches:
-                yield collate([self.dataset[int(j)] for j in chunk])
+            for chunk, mask in zip(batches, masks):
+                yield self._attach_mask(
+                    collate([self.dataset[int(j)] for j in chunk]), mask)
             return
         if self.use_processes:
-            yield from self._iter_processes(batches)
+            yield from self._iter_processes(batches, masks)
             return
 
         from concurrent.futures import ThreadPoolExecutor
@@ -345,8 +367,8 @@ class NumpyLoader:
             # workers. Futures are submitted only from this generator
             # thread (no nested submits), so pool saturation can't
             # deadlock. Batches are re-assembled in order.
-            pending = []          # list of list-of-futures, one per batch
-            it = iter(batches)
+            pending = []          # list of (list-of-futures, mask), one per batch
+            it = iter(zip(batches, masks))
 
             def submit(chunk):
                 return [pool.submit(self.dataset.__getitem__, int(j))
@@ -355,35 +377,37 @@ class NumpyLoader:
             # keep `prefetch` batches in flight (>=1 or the while loop
             # below never starts and the epoch silently yields nothing)
             for _ in range(max(self.prefetch, 1)):
-                chunk = next(it, None)
-                if chunk is not None:
-                    pending.append(submit(chunk))
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append((submit(nxt[0]), nxt[1]))
             while pending:
-                futs = pending.pop(0)
-                chunk = next(it, None)
-                if chunk is not None:
-                    pending.append(submit(chunk))
-                yield collate([f.result() for f in futs])
+                futs, mask = pending.pop(0)
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append((submit(nxt[0]), nxt[1]))
+                yield self._attach_mask(collate([f.result() for f in futs]),
+                                        mask)
 
-    def _iter_processes(self, batches):
+    def _iter_processes(self, batches, masks):
         """Per-SAMPLE fan-out over the spawn pool (a whole batch per task
         would serialise its samples in one worker), batches re-assembled
         in order with `prefetch` batches of samples in flight."""
         pool = self._proc_pool()
-        pending = []           # list of list-of-AsyncResult, one per batch
-        it = iter(batches)
+        pending = []        # list of (list-of-AsyncResult, mask), one per batch
+        it = iter(zip(batches, masks))
 
         def submit(chunk):
             return [pool.apply_async(_load_worker_sample, (int(j),))
                     for j in chunk]
 
         for _ in range(max(self.prefetch, 1)):
-            chunk = next(it, None)
-            if chunk is not None:
-                pending.append(submit(chunk))
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((submit(nxt[0]), nxt[1]))
         while pending:
-            batch_futs = pending.pop(0)
-            chunk = next(it, None)
-            if chunk is not None:
-                pending.append(submit(chunk))
-            yield collate([f.get() for f in batch_futs])
+            batch_futs, mask = pending.pop(0)
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((submit(nxt[0]), nxt[1]))
+            yield self._attach_mask(collate([f.get() for f in batch_futs]),
+                                    mask)

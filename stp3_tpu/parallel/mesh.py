@@ -139,20 +139,26 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2):
 
 
 def default_prefetch_size() -> int:
-    """Device-prefetch depth for training loops: 2 on multi-core hosts,
-    0 (synchronous pass-through) on single-core hosts.
+    """Device-prefetch depth for training loops: 0 (synchronous
+    pass-through) unless ``STP3_DEVICE_PREFETCH=<n>`` opts in.
 
-    Measured (round 4, sustained_train_bench @ batch 2 on the 1-vCPU
-    container): the background device_put thread STEALS the only core
-    from the loader's sample-generation threads — 808.6 ms/step with
-    prefetch vs 601.6 ms without. On a real multi-core TPU-VM host the
-    producer thread runs on a spare core and the transfer overlap is
-    free. Override with ``STP3_DEVICE_PREFETCH=<n>`` (0 disables).
+    Default-off-until-measured (round-5 posture): the only measurement
+    of the prefetch thread is a REGRESSION — round-4
+    sustained_train_bench @ batch 2 on the 1-vCPU container showed the
+    background device_put thread STEALS the only core from the loader's
+    sample-generation threads (808.6 ms/step with prefetch vs 601.6
+    without). The multi-core case (where the producer thread would run
+    on a spare core and the transfer overlap would be free) has never
+    been measured — no multi-core TPU-attached host is reachable from
+    this environment — so auto-enabling it there would put training on
+    an unbenchmarked code path. When such a host exists: run
+    ``benchmarks/sustained_train_bench.py`` with
+    ``STP3_DEVICE_PREFETCH=2`` vs ``0`` and flip this default if 2 wins.
     """
     env = os.environ.get('STP3_DEVICE_PREFETCH')
     if env is not None:
         return int(env)
-    return 2 if (os.cpu_count() or 1) > 1 else 0
+    return 0
 
 
 def is_main_process() -> bool:
@@ -179,17 +185,41 @@ def host_tree(tree):
     return jax.tree.map(host_value, tree)
 
 
+def _coordination_client():
+    """The jax distributed-coordination-service client, or None when the
+    private API it lives behind is unavailable (``jax._src.distributed``
+    has no stability guarantee across JAX upgrades — feature-detect, do
+    not crash the multi-process path on an import error)."""
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+    except Exception:
+        return None
+    return client
+
+
 def coordination_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
     """Cross-process barrier over the coordination service (gRPC) — NOT a
     device collective. Safe to call when processes are MINUTES apart:
     a gloo/ICI collective's pair connect times out (~30 s) if one process
     dispatches while another is still compiling, which is exactly the
     skew around big-program compilation this barrier exists to absorb
-    (tests/test_multiprocess.py found the failure). No-op single-process."""
+    (tests/test_multiprocess.py found the failure). No-op single-process.
+
+    Fallback when the private coordination client is unavailable (JAX
+    upgrade moved ``jax._src.distributed``):
+    ``multihost_utils.sync_global_devices`` — public API, but a DEVICE
+    collective, so it only tolerates the collective-transport connect
+    window (~30 s of skew) instead of ``timeout_ms``. Better a barrier
+    with a shorter fuse than an ImportError at train start."""
     if jax.process_count() == 1:
         return
-    from jax._src import distributed
-    distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+    client = _coordination_client()
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
 
 
 def broadcast_string(s: str, maxlen: int = 512) -> str:

@@ -19,9 +19,20 @@ kernels — numerically wrong. Checkpoints from before commit "Fix review
 findings" (round 1 end) must be re-trained or re-imported from their
 torch source; there are no such external checkpoints in circulation
 (round-1 artifacts were synthetic-data smoke runs only).
+
+Since round 5 the hazard is machine-detectable: every save stamps a
+``meta.json`` sidecar with ``format_version`` (and the
+transpose-convention flag); ``load_checkpoint`` hard-errors on a
+checkpoint with no stamp (pre-round-5 vintage — possibly pre-transpose)
+unless ``allow_unversioned=True`` / ``STP3_ALLOW_UNVERSIONED_CKPT=1``
+asserts it is a known-good one. The same sidecar carries the training
+monitor state (``best_iou``) so the best-checkpoint pointer is
+resume-safe (Lightning persists its ModelCheckpoint monitor inside the
+ckpt, reference train.py:36-42).
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -29,10 +40,18 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+# format 2 = transpose_kernel=True upsampling Bottleneck (round-2+ layout).
+# Bump on any change that restores cleanly but computes differently.
+FORMAT_VERSION = 2
+
 
 def save_checkpoint(ckpt_dir: str, step: int, params, opt_state=None,
                     cfg_dict: Optional[Dict[str, Any]] = None,
-                    batch_stats=None) -> str:
+                    batch_stats=None,
+                    metrics: Optional[Dict[str, Any]] = None) -> str:
+    """``metrics``: json-able training-monitor state persisted in the
+    meta sidecar (e.g. ``{'best_iou': ...}``) and restored by
+    ``load_meta`` on resume."""
     path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
     ckptr = ocp.StandardCheckpointer()
     payload = {'params': params, 'step': np.int64(step)}
@@ -50,14 +69,29 @@ def save_checkpoint(ckpt_dir: str, step: int, params, opt_state=None,
     ckptr.wait_until_finished()
     import jax
     if jax.process_index() == 0:
+        meta = {'format_version': FORMAT_VERSION,
+                'transpose_kernel': True, 'step': int(step)}
+        if metrics:
+            meta.update(_jsonable(metrics))
+        with open(os.path.join(path, 'meta.json'), 'w') as f:
+            json.dump(meta, f, indent=2)
         if cfg_dict is not None:
-            import json
             with open(os.path.join(path, 'config.json'), 'w') as f:
                 json.dump(_jsonable(cfg_dict), f, indent=2)
         # "last" pointer (reference ModelCheckpoint save_last, train.py:36-42)
         with open(os.path.join(ckpt_dir, 'last'), 'w') as f:
             f.write(path)
     return path
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    """The meta.json sidecar of a (resolved) checkpoint; {} when absent
+    (pre-round-5 vintage)."""
+    meta_path = os.path.join(resolve_checkpoint_path(path), 'meta.json')
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
 
 
 def _jsonable(obj):
@@ -107,11 +141,38 @@ def resolve_checkpoint_path(path: str) -> str:
     return path
 
 
-def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
+def load_checkpoint(path: str, target=None, *,
+                    allow_unversioned: bool = False) -> Dict[str, Any]:
     """Restore {params[, opt_state]}; ``target`` is a matching pytree of
-    abstract/concrete arrays (None -> restore as saved)."""
+    abstract/concrete arrays (None -> restore as saved).
+
+    A checkpoint with no ``meta.json`` format stamp is rejected: it
+    predates round 5, which means it MAY predate the ConvTranspose
+    ``transpose_kernel=True`` switch — such checkpoints restore without
+    error but compute with transposed upsample kernels (module
+    docstring). Pass ``allow_unversioned=True`` (or set
+    ``STP3_ALLOW_UNVERSIONED_CKPT=1``) only for a checkpoint known to be
+    post-transpose."""
+    resolved = resolve_checkpoint_path(path)
+    meta = load_meta(resolved)
+    if not meta:
+        allow = allow_unversioned or (
+            os.environ.get('STP3_ALLOW_UNVERSIONED_CKPT') == '1')
+        if not allow:
+            raise ValueError(
+                f'checkpoint {resolved} has no meta.json format stamp: it '
+                f'predates the round-5 format versioning and may predate '
+                f'the upsampling-Bottleneck transpose_kernel switch (it '
+                f'would restore cleanly but compute WRONG — see '
+                f'stp3_tpu/training/checkpoint.py). If it is known '
+                f'post-transpose, pass allow_unversioned=True or set '
+                f'STP3_ALLOW_UNVERSIONED_CKPT=1.')
+    elif int(meta.get('format_version', 0)) > FORMAT_VERSION:
+        raise ValueError(
+            f'checkpoint {resolved} has format_version '
+            f'{meta.get("format_version")} > supported {FORMAT_VERSION}')
     ckptr = ocp.StandardCheckpointer()
-    state_path = os.path.join(resolve_checkpoint_path(path), 'state')
+    state_path = os.path.join(resolved, 'state')
     if target is not None:
         return ckptr.restore(state_path, target=target)
     return ckptr.restore(state_path)

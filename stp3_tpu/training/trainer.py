@@ -400,39 +400,59 @@ class Trainer:
         Multi-process: outputs/labels live on the GLOBAL mesh (not fully
         addressable); each process pulls ITS batch rows to host
         (``process_local``) and updates its own metric accumulators —
-        ``compute_metrics`` sums them across processes."""
+        ``compute_metrics`` sums them across processes.
+
+        A 'valid' batch key (per-row bool; NumpyLoader with_valid_mask)
+        marks wrap-around padding duplicates on ragged multi-process val
+        tails — those rows are masked out of every metric update, so the
+        summed metrics equal the single-process run EXACTLY (torch's
+        DistributedSampler double-counts them; we match the reference's
+        VALUES by not double-counting). It is popped before the forward so
+        the jit/AOT input pytree matches the warmup batch."""
         cfg = self.cfg
         rf = self.rf
+        batch = dict(batch)
+        valid = batch.pop('valid', None)
         output, labels = self.val_forward(params, batch, batch_stats)
         if jax.process_count() > 1:
             from stp3_tpu.parallel.mesh import process_local
             output = jax.tree.map(process_local, output)
             labels = jax.tree.map(process_local, labels)
+            if valid is not None:
+                valid = process_local(valid)
+        if valid is not None:
+            vmask = np.asarray(valid).astype(bool)
+            m = (lambda a: a[vmask]) if not vmask.all() else (lambda a: a)
+        else:
+            m = lambda a: a
 
-        seg_pred = np.asarray(output['segmentation']).argmax(-1)
-        self.metric_vehicle_val.update(seg_pred[:, rf - 1:],
-                                       np.asarray(labels['segmentation'])[:, rf - 1:])
+        seg_pred = m(np.asarray(output['segmentation'])).argmax(-1)
+        self.metric_vehicle_val.update(
+            seg_pred[:, rf - 1:],
+            m(np.asarray(labels['segmentation']))[:, rf - 1:])
         if self.metric_pedestrian_val is not None:
-            ped_pred = np.asarray(output['pedestrian']).argmax(-1)
+            ped_pred = m(np.asarray(output['pedestrian'])).argmax(-1)
             self.metric_pedestrian_val.update(
-                ped_pred[:, rf - 1:], np.asarray(labels['pedestrian'])[:, rf - 1:])
+                ped_pred[:, rf - 1:],
+                m(np.asarray(labels['pedestrian']))[:, rf - 1:])
         if self.metric_hdmap_val is not None:
-            hd = np.asarray(output['hdmap'])
+            hd = m(np.asarray(output['hdmap']))
             for i, metric in enumerate(self.metric_hdmap_val):
                 pred_i = hd[..., 2 * i:2 * (i + 1)].argmax(-1)
-                metric.update(pred_i, np.asarray(labels['hdmap'])[..., i])
+                metric.update(pred_i, m(np.asarray(labels['hdmap']))[..., i])
         if self.metric_panoptic_val is not None:
             consistent = predict_instance_segmentation_and_trajectories(output)
             self.metric_panoptic_val.update(
-                consistent[:, rf - 1:], np.asarray(labels['instance'])[:, rf - 1:])
+                m(np.asarray(consistent))[:, rf - 1:],
+                m(np.asarray(labels['instance']))[:, rf - 1:])
         if self.metric_planning_val is not None:
-            seg_lab = np.asarray(labels['segmentation'])[:, rf:]
-            ped_lab = (np.asarray(labels['pedestrian'])[:, rf:]
+            seg_lab = m(np.asarray(labels['segmentation']))[:, rf:]
+            ped_lab = (m(np.asarray(labels['pedestrian']))[:, rf:]
                        if 'pedestrian' in labels else np.zeros_like(seg_lab))
             occupancy = np.logical_or(seg_lab, ped_lab)
             self.metric_planning_val.update(
-                np.asarray(output['final_traj']),
-                np.asarray(labels['gt_trajectory'])[:, 1:], occupancy)
+                m(np.asarray(output['final_traj'])),
+                m(np.asarray(labels['gt_trajectory']))[:, 1:], occupancy)
         return output, labels
 
     # ------------------------------------------------------------- metrics

@@ -540,6 +540,7 @@ def _get(tree: Params, path: str) -> Array:
 _IGNORED_SUBSTRINGS = (
     'num_batches_tracked',
     'model.bev_resolution', 'model.bev_start_position', 'model.bev_dimension',
+    'model.frustum',             # constant grid buffer (stp3.py:111-130)
     'model.planning.cost_function.',
 )
 

