@@ -141,19 +141,13 @@ def resolve_checkpoint_path(path: str) -> str:
     return path
 
 
-def load_checkpoint(path: str, target=None, *,
-                    allow_unversioned: bool = False) -> Dict[str, Any]:
-    """Restore {params[, opt_state]}; ``target`` is a matching pytree of
-    abstract/concrete arrays (None -> restore as saved).
-
-    A checkpoint with no ``meta.json`` format stamp is rejected: it
+def _validate_version(resolved: str, allow_unversioned: bool) -> None:
+    """A checkpoint with no ``meta.json`` format stamp is rejected: it
     predates round 5, which means it MAY predate the ConvTranspose
     ``transpose_kernel=True`` switch — such checkpoints restore without
     error but compute with transposed upsample kernels (module
-    docstring). Pass ``allow_unversioned=True`` (or set
-    ``STP3_ALLOW_UNVERSIONED_CKPT=1``) only for a checkpoint known to be
-    post-transpose."""
-    resolved = resolve_checkpoint_path(path)
+    docstring). ``allow_unversioned=True`` (or
+    ``STP3_ALLOW_UNVERSIONED_CKPT=1``) asserts it is known-good."""
     meta = load_meta(resolved)
     if not meta:
         allow = allow_unversioned or (
@@ -171,11 +165,61 @@ def load_checkpoint(path: str, target=None, *,
         raise ValueError(
             f'checkpoint {resolved} has format_version '
             f'{meta.get("format_version")} > supported {FORMAT_VERSION}')
+
+
+def load_checkpoint(path: str, target=None, *,
+                    allow_unversioned: bool = False) -> Dict[str, Any]:
+    """Restore {params[, opt_state]}; ``target`` is a matching pytree of
+    abstract/concrete arrays (None -> restore as saved: plain nested
+    dicts — fine for params, but an opt_state restored this way has LOST
+    its optax namedtuple containers; use :func:`restore_train_state` to
+    resume training)."""
+    resolved = resolve_checkpoint_path(path)
+    _validate_version(resolved, allow_unversioned)
     ckptr = ocp.StandardCheckpointer()
     state_path = os.path.join(resolved, 'state')
     if target is not None:
         return ckptr.restore(state_path, target=target)
     return ckptr.restore(state_path)
+
+
+def restore_train_state(path: str, state, *, allow_unversioned: bool = False):
+    """Resume restore: rebuild a FULL training state with the live
+    ``state`` as the orbax target tree.
+
+    Restoring without a target decays typed containers to plain dicts —
+    the optax opt_state (chained/masked namedtuples) comes back as
+    nested dicts and the first post-resume ``apply_gradients`` dies with
+    ``'dict' object has no attribute 'inner_state'`` (latent since
+    round 1; caught by the round-5 on-chip soak's mid-run resume).
+    Passing the live state's own trees as the target makes orbax
+    reconstruct every container type, and places leaves on the target's
+    shardings (replicated on the mesh).
+
+    Fields the checkpoint does not carry (e.g. opt_state in a
+    params-only torch import) keep their live values."""
+    resolved = resolve_checkpoint_path(path)
+    _validate_version(resolved, allow_unversioned)
+    ckptr = ocp.StandardCheckpointer()
+    state_path = os.path.join(resolved, 'state')
+    try:
+        saved_keys = set(
+            ckptr.metadata(state_path).item_metadata.tree.keys())
+    except Exception:   # orbax metadata layout moved: assume a full save
+        saved_keys = {'params', 'step', 'opt_state'} | (
+            {'batch_stats'} if state.batch_stats is not None else set())
+    # 0-d ndarray, not np.int64 scalar: orbax targets accept ndarrays only
+    target = {'params': state.params, 'step': np.zeros((), np.int64)}
+    if 'opt_state' in saved_keys:
+        target['opt_state'] = state.opt_state
+    if 'batch_stats' in saved_keys and state.batch_stats is not None:
+        target['batch_stats'] = state.batch_stats
+    restored = ckptr.restore(state_path, target=target)
+    return state.replace(
+        params=restored['params'],
+        opt_state=restored.get('opt_state', state.opt_state),
+        step=int(restored['step']),
+        batch_stats=restored.get('batch_stats', state.batch_stats))
 
 
 def load_config_dict(path: str) -> Optional[Dict[str, Any]]:

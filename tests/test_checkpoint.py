@@ -101,6 +101,44 @@ def test_best_pointer_resume_safe(tmp_path):
     assert resumed_best == 0.9
 
 
+def test_restore_train_state_preserves_optax_containers(tmp_path):
+    """Regression (round-5 soak find): a target-less orbax restore decays
+    the optax opt_state namedtuples to dicts, and the first post-resume
+    apply_gradients dies with \"'dict' object has no attribute
+    'inner_state'\". restore_train_state uses the live state as target."""
+    import jax.numpy as jnp
+
+    from helpers import make_test_cfg
+    from stp3_tpu.training.trainer import TrainState, make_optimizer
+
+    cfg = make_test_cfg()
+    tx = make_optimizer(cfg)
+    state = TrainState.create(apply_fn=None, params=_tree(), tx=tx,
+                              batch_stats=None)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads=grads)   # non-trivial opt_state
+    C.save_checkpoint(str(tmp_path), int(state.step), state.params,
+                      state.opt_state)
+
+    fresh = TrainState.create(apply_fn=None, params=_tree(seed=9), tx=tx,
+                              batch_stats=None)
+    resumed = C.restore_train_state(str(tmp_path), fresh)
+    assert int(resumed.step) == 1
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), resumed.params, state.params)
+    # the typed containers survived: training continues identically
+    cont_a = state.apply_gradients(grads=grads)
+    cont_b = resumed.apply_gradients(grads=grads)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6), cont_a.params, cont_b.params)
+
+    # a params-only checkpoint (torch import) keeps the live opt_state
+    p_only = C.save_checkpoint(str(tmp_path / 'ponly'), 0, _tree(seed=3))
+    resumed2 = C.restore_train_state(p_only, fresh)
+    assert jax.tree.structure(resumed2.opt_state) == jax.tree.structure(
+        fresh.opt_state)
+
+
 def test_warm_start_filters_decoder_and_mismatches():
     """Reference train.py:21-29: load everything except decoder keys,
     skip shape mismatches (strict=False)."""

@@ -102,12 +102,10 @@ def main():
     # overwrite a historically better `best` pointer)
     best_iou = -1.0
     if cfg.CHECKPOINT.RESUME:
-        restored = ckpt_lib.load_checkpoint(cfg.CHECKPOINT.RESUME)
-        state = state.replace(params=restored['params'],
-                              opt_state=restored.get('opt_state', state.opt_state),
-                              step=int(restored.get('step', 0)),
-                              batch_stats=restored.get('batch_stats',
-                                                       state.batch_stats))
+        # restore WITH the live state as the orbax target: a target-less
+        # restore decays the optax opt_state namedtuples to dicts and the
+        # first post-resume step crashes (checkpoint.restore_train_state)
+        state = ckpt_lib.restore_train_state(cfg.CHECKPOINT.RESUME, state)
         best_iou = float(ckpt_lib.load_meta(cfg.CHECKPOINT.RESUME)
                          .get('best_iou', -1.0))
         print(f'resumed from {cfg.CHECKPOINT.RESUME} at step {int(state.step)}'
