@@ -38,10 +38,20 @@ from stp3_tpu.models.stp3 import STP3, STP3Config  # noqa: E402
 from stp3_tpu.utils.torch_import import import_state_dict  # noqa: E402
 
 
-def _tiny_cfg():
+def _tiny_cfg(variant='gaussian_full'):
     """Tiny-but-complete config: b0 encoder, 2 cams (front at index 1 on
     both sides — the reference hardcodes cam_front_index=1, stp3.py:203),
-    32x32 BEV, GAUSSIAN distribution, EVERY head enabled."""
+    32x32 BEV, GAUSSIAN distribution, EVERY head enabled.
+
+    variant 'bernoulli' flips the remaining oracle-testable forward
+    branches: BERNOULLI latent (eval sample = exp(log_prob),
+    stp3.py:354-362) with the instance/flow heads gated OFF.
+
+    NOT oracle-testable: USE_DEPTH_DISTRIBUTION=False — the REFERENCE
+    crashes on that config (stp3.py:222 calls ``depth.view`` on the None
+    depth its own encoder returns, encoder.py:93-96), so the uniform
+    lift has no runnable upstream oracle; our ``lift_uniform`` follows
+    the documented intent of stp3.py:219-222 instead."""
     cfg = get_cfg()
     cfg.IMAGE.FINAL_DIM = (32, 64)
     cfg.IMAGE.NAMES = ['CAM_LEFT', 'CAM_FRONT']
@@ -65,6 +75,10 @@ def _tiny_cfg():
     # ceil(Wf/8) = 2 * 1 * 1 with OUT_CHANNELS 16 and 4x8 features
     cfg.PLANNING.GRU_STATE_SIZE = 2
     cfg.MODEL.NORM = 'bn_frozen'   # torch checkpoints carry BN stats
+    if variant == 'bernoulli':
+        cfg.PROBABILISTIC.METHOD = 'BERNOULLI'
+        cfg.INSTANCE_SEG.ENABLED = False
+        cfg.INSTANCE_FLOW.ENABLED = False
     return cfg
 
 
@@ -128,9 +142,9 @@ def to_last(t, src_axis=-3):
     return np.moveaxis(t.detach().numpy(), src_axis, -1)
 
 
-@pytest.fixture()
-def parity_pair():
-    cfg = _tiny_cfg()
+@pytest.fixture(params=['gaussian_full', 'bernoulli'])
+def parity_pair(request):
+    cfg = _tiny_cfg(request.param)
     ref = ref_stp3.STP3(cfg)
     _attach_uncertainty_weights(ref, cfg)
     # exclude the reference's CONSTANT nn.Parameters: the cost-function
@@ -172,14 +186,23 @@ def test_whole_model_forward_and_plan_parity(parity_pair):
                                    rtol=1e-3, err_msg=what)
 
     # depth distribution logits: ref (B,S,N,D,h,w) -> (B,S,N,h,w,D)
-    close(out_j['depth_prediction'],
-          out_t['depth_prediction'].numpy().transpose(0, 1, 2, 4, 5, 3),
-          'depth_prediction')
+    # (None on both sides when USE_DEPTH_DISTRIBUTION is off)
+    if cfg.MODEL.ENCODER.USE_DEPTH_DISTRIBUTION:
+        close(out_j['depth_prediction'],
+              out_t['depth_prediction'].numpy().transpose(0, 1, 2, 4, 5, 3),
+              'depth_prediction')
+    else:
+        assert out_t['depth_prediction'] is None
+        assert out_j['depth_prediction'] is None
     # present-frame front-cam feature: ref (B,C,h,w)
     close(out_j['cam_front'], to_last(out_t['cam_front']), 'cam_front')
     # BEV heads: ref (B,S,C,H,W)
-    for key in ('segmentation', 'pedestrian', 'instance_center',
-                'instance_offset', 'instance_flow'):
+    keys = ['segmentation', 'pedestrian']
+    if cfg.INSTANCE_SEG.ENABLED:
+        keys += ['instance_center', 'instance_offset']
+    if cfg.INSTANCE_FLOW.ENABLED:
+        keys += ['instance_flow']
+    for key in keys:
         close(out_j[key], to_last(out_t[key]), key)
     # hdmap (present frame): ref (B,2E,H,W)
     close(out_j['hdmap'], to_last(out_t['hdmap']), 'hdmap')
@@ -223,6 +246,80 @@ def test_whole_model_forward_and_plan_parity(parity_pair):
         np.testing.assert_allclose(np.asarray(traj_j), traj_t.numpy(),
                                    atol=2e-3, rtol=1e-3,
                                    err_msg=f'refined traj ({command})')
+
+
+def test_prepare_future_labels_parity():
+    """Trainer label preparation vs the reference recipe
+    (trainer.py:254-360) executed with the REFERENCE's own torch warp
+    utilities — the last untested training-side composition seam (the
+    warp primitives are oracle-tested in test_warp.py; this pins the
+    assembly: per-task [:-1] past slice, rf-1 future overlap, nearest
+    mode everywhere, present-frame hdmap, depth subsample/clamp/shift)."""
+    from stp3.utils.geometry import (cumulative_warp_features as cwf,
+                                     cumulative_warp_features_reverse as cwfr)
+
+    from stp3_tpu.datas.synthetic import SyntheticDataset, collate
+    from stp3_tpu.training.trainer import Trainer
+
+    cfg = _tiny_cfg()
+    cfg.LIFT.GT_DEPTH = True
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(cfg, n_samples=2, seed=3)
+    batch = collate([ds[0], ds[1]])
+    # non-cell-aligned egomotion so nearest-warp picks have no .5 ties
+    batch['future_egomotion'] = (batch['future_egomotion']
+                                 + np.float32(0.137)
+                                 * np.sign(batch['future_egomotion']))
+
+    labels_j = jax.tree.map(
+        np.asarray,
+        trainer.prepare_future_labels(
+            {k: jnp.asarray(v) for k, v in batch.items()}))
+
+    rf = cfg.TIME_RECEPTIVE_FIELD
+    se = (cfg.LIFT.X_BOUND[1], cfg.LIFT.Y_BOUND[1])
+    ego = torch.from_numpy(batch['future_egomotion'])
+
+    def ref_split(x_t):
+        """reference trainer.py:279-292 with the reference warps.
+        x_t: (B,S,C,H,W) float."""
+        with torch.no_grad():
+            past = cwf(x_t[:, :rf], ego[:, :rf], mode='nearest',
+                       spatial_extent=se)[:, :-1]
+            fut = cwfr(x_t[:, rf - 1:], ego[:, rf - 1:], mode='nearest',
+                       spatial_extent=se)
+        return torch.cat([past, fut], dim=1)
+
+    def chan_first(key):
+        return torch.from_numpy(
+            np.moveaxis(batch[key], -1, 2).astype(np.float32).copy())
+
+    # int masks (no channel dim in the repo batch contract)
+    for key in ('segmentation', 'pedestrian', 'instance'):
+        want = ref_split(torch.from_numpy(
+            batch[key].astype(np.float32))[:, :, None]).long()[:, :, 0]
+        np.testing.assert_array_equal(labels_j[key], want.numpy(), key)
+    # float fields (channels-last in the repo batch)
+    for key, label in (('centerness', 'centerness'), ('offset', 'offset'),
+                       ('flow', 'flow')):
+        want = ref_split(chan_first(key))
+        np.testing.assert_allclose(
+            labels_j[label], np.moveaxis(want.numpy(), 2, -1),
+            atol=1e-5, rtol=1e-5, err_msg=key)
+    # present-frame hdmap, gt trajectory passthrough
+    np.testing.assert_array_equal(labels_j['hdmap'],
+                                  batch['hdmap'][:, rf - 1])
+    np.testing.assert_allclose(labels_j['gt_trajectory'],
+                               batch['gt_trajectory'], rtol=1e-6)
+    # depth: subsample / clamp to [d0, d1-1] / shift / truncate
+    # (reference trainer.py:268-275)
+    down = cfg.MODEL.ENCODER.DOWNSAMPLE
+    d0, d1 = cfg.LIFT.D_BOUND[0], cfg.LIFT.D_BOUND[1]
+    want_d = torch.clamp(
+        torch.from_numpy(batch['depths'])[:, :rf, :, ::down, ::down],
+        d0, d1 - 1) - d0
+    np.testing.assert_array_equal(labels_j['depths'],
+                                  want_d.long().numpy())
 
 
 def test_whole_model_parity_bev_splat_not_empty(parity_pair):
