@@ -284,6 +284,57 @@ def test_imported_params_run_forward(bn_frozen_norm):
     assert np.isfinite(np.asarray(out['segmentation'])).all()
 
 
+@pytest.mark.slow
+def test_export_cli_roundtrip(bn_frozen_norm, tmp_path, monkeypatch):
+    """scripts/export_torch_checkpoint.py: Orbax checkpoint -> Lightning
+    .ckpt with the reference key layout, constants, and bookkeeping —
+    and the output is directly re-importable (closure)."""
+    import importlib.util
+    import os
+
+    import torch
+
+    from helpers import make_test_cfg
+    from stp3_tpu.training import checkpoint as ckpt_lib
+
+    cfg = make_test_cfg()
+    cfg.MODEL.NORM = 'bn_frozen'
+    mcfg = STP3Config.from_cfg(cfg)
+    params = ti.init_param_tree(mcfg, seed=5)
+    ckpt_lib.save_checkpoint(str(tmp_path / 'ck'), 0, params,
+                             cfg_dict=cfg.convert_to_dict())
+
+    spec = importlib.util.spec_from_file_location(
+        'export_torch_checkpoint',
+        os.path.join(os.path.dirname(__file__), '..', 'scripts',
+                     'export_torch_checkpoint.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / 'exported.ckpt')
+    monkeypatch.setattr('sys.argv', ['export_torch_checkpoint.py',
+                                     '--checkpoint', str(tmp_path / 'ck'),
+                                     '--output', out])
+    mod.main()
+
+    blob = torch.load(out, map_location='cpu', weights_only=False)
+    sd = {k: v.numpy() for k, v in blob['state_dict'].items()}
+    # reference-format essentials present
+    assert 'model.frustum' in sd and 'model.bev_resolution' in sd
+    assert any(k.endswith('num_batches_tracked') for k in sd)
+    assert blob['hyper_parameters']['MODEL']['NORM'] == 'bn_frozen'
+    # values round-trip: the exported tensors match a direct export
+    direct = ti.export_state_dict(params, mcfg)
+    for k in list(direct)[:20] + ['model.segmentation_weight']:
+        np.testing.assert_array_equal(sd[k], np.asarray(direct[k]), k)
+    # closure: the CLI's output is importable again, bit-exact
+    params2, report = ti.import_state_dict(sd, mcfg)
+    assert report.ok(), (report.missing[:5], report.unexpected[:5])
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(params2)[0]
+    for (p, a), (_, b) in zip(flat, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_filter_decoder():
     params = {'decoder': {'x': 1}, 'encoder': {'y': 2}}
     out = ti.filter_decoder(params)
