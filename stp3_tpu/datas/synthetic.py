@@ -277,8 +277,9 @@ class NumpyLoader:
         # DistributedSampler double-counts)
         self.with_valid_mask = with_valid_mask
         self._pool = None
+        self._tpool = None
 
-    # -- process-pool plumbing ------------------------------------------
+    # -- worker-pool plumbing -------------------------------------------
     def _proc_pool(self):
         if self._pool is None:
             import multiprocessing as mp
@@ -287,11 +288,26 @@ class NumpyLoader:
                                   initargs=(self.dataset,))
         return self._pool
 
+    def _thread_pool(self):
+        """Persistent across epochs: the old per-__iter__
+        ``with ThreadPoolExecutor`` tore the pool down at every epoch
+        boundary and cold-started the next epoch's prefetch — measured as
+        periodic ~2x step-time stalls in the round-5 soak (small synthetic
+        set, epoch every 32 steps). One pool for the loader's lifetime,
+        shut down in close()/GC."""
+        if self._tpool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._tpool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._tpool
+
     def close(self):
         if self._pool is not None:
             self._pool.terminate()
             self._pool.join()
             self._pool = None
+        if self._tpool is not None:
+            self._tpool.shutdown(wait=False, cancel_futures=True)
+            self._tpool = None
 
     def __del__(self):
         try:
@@ -357,36 +373,37 @@ class NumpyLoader:
             yield from self._iter_processes(batches, masks)
             return
 
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            # per-SAMPLE fan-out (round-4 sustained_train_bench fix): the
-            # old per-BATCH tasks loaded samples serially inside one
-            # thread, capping concurrency at `prefetch` tasks no matter
-            # how many workers — per-sample futures keep
-            # prefetch*batch_size sample loads in flight across all
-            # workers. Futures are submitted only from this generator
-            # thread (no nested submits), so pool saturation can't
-            # deadlock. Batches are re-assembled in order.
-            pending = []          # list of (list-of-futures, mask), one per batch
-            it = iter(zip(batches, masks))
+        # per-SAMPLE fan-out (round-4 sustained_train_bench fix): the
+        # old per-BATCH tasks loaded samples serially inside one
+        # thread, capping concurrency at `prefetch` tasks no matter
+        # how many workers — per-sample futures keep
+        # prefetch*batch_size sample loads in flight across all
+        # workers. Futures are submitted only from this generator
+        # thread (no nested submits), so pool saturation can't
+        # deadlock. Batches are re-assembled in order. The pool is
+        # PERSISTENT across epochs (_thread_pool), so epoch boundaries
+        # do not cold-start the prefetch.
+        pool = self._thread_pool()
+        pending = []          # list of (list-of-futures, mask), one per batch
+        it = iter(zip(batches, masks))
 
-            def submit(chunk):
-                return [pool.submit(self.dataset.__getitem__, int(j))
-                        for j in chunk]
+        def submit(chunk):
+            return [pool.submit(self.dataset.__getitem__, int(j))
+                    for j in chunk]
 
-            # keep `prefetch` batches in flight (>=1 or the while loop
-            # below never starts and the epoch silently yields nothing)
-            for _ in range(max(self.prefetch, 1)):
-                nxt = next(it, None)
-                if nxt is not None:
-                    pending.append((submit(nxt[0]), nxt[1]))
-            while pending:
-                futs, mask = pending.pop(0)
-                nxt = next(it, None)
-                if nxt is not None:
-                    pending.append((submit(nxt[0]), nxt[1]))
-                yield self._attach_mask(collate([f.result() for f in futs]),
-                                        mask)
+        # keep `prefetch` batches in flight (>=1 or the while loop
+        # below never starts and the epoch silently yields nothing)
+        for _ in range(max(self.prefetch, 1)):
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((submit(nxt[0]), nxt[1]))
+        while pending:
+            futs, mask = pending.pop(0)
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((submit(nxt[0]), nxt[1]))
+            yield self._attach_mask(collate([f.result() for f in futs]),
+                                    mask)
 
     def _iter_processes(self, batches, masks):
         """Per-SAMPLE fan-out over the spawn pool (a whole batch per task

@@ -45,7 +45,9 @@ def _tiny_cfg(variant='gaussian_full'):
 
     variant 'bernoulli' flips the remaining oracle-testable forward
     branches: BERNOULLI latent (eval sample = exp(log_prob),
-    stp3.py:354-362) with the instance/flow heads gated OFF.
+    stp3.py:354-362) with the instance/flow heads gated OFF; variant
+    'mixgaussian' covers the 3-component mixture head + softmax
+    coefficient mixing (stp3.py:365-377).
 
     NOT oracle-testable: USE_DEPTH_DISTRIBUTION=False — the REFERENCE
     crashes on that config (stp3.py:222 calls ``depth.view`` on the None
@@ -77,6 +79,10 @@ def _tiny_cfg(variant='gaussian_full'):
     cfg.MODEL.NORM = 'bn_frozen'   # torch checkpoints carry BN stats
     if variant == 'bernoulli':
         cfg.PROBABILISTIC.METHOD = 'BERNOULLI'
+        cfg.INSTANCE_SEG.ENABLED = False
+        cfg.INSTANCE_FLOW.ENABLED = False
+    elif variant == 'mixgaussian':
+        cfg.PROBABILISTIC.METHOD = 'MIXGAUSSIAN'
         cfg.INSTANCE_SEG.ENABLED = False
         cfg.INSTANCE_FLOW.ENABLED = False
     return cfg
@@ -142,7 +148,7 @@ def to_last(t, src_axis=-3):
     return np.moveaxis(t.detach().numpy(), src_axis, -1)
 
 
-@pytest.fixture(params=['gaussian_full', 'bernoulli'])
+@pytest.fixture(params=['gaussian_full', 'bernoulli', 'mixgaussian'])
 def parity_pair(request):
     cfg = _tiny_cfg(request.param)
     ref = ref_stp3.STP3(cfg)
