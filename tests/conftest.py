@@ -19,7 +19,10 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
 # persistent compile cache: full-graph smoke tests recompile in seconds
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+# (JAX_CACHE_DIR override matches train.py — e.g. point at a fresh dir to
+# rule out stale/foreign-host cache entries when chasing numeric diffs)
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 assert jax.default_backend() == 'cpu', jax.default_backend()
