@@ -199,6 +199,78 @@ def install() -> None:
         enp = _module('efficientnet_pytorch')
         enp.EfficientNet = _build_efficientnet_oracle()
 
+    # ---- pytorch_lightning.metrics (old 0.x API): just enough for the
+    # reference stp3/metrics.py to import and run single-process.
+    #   * Metric — a state-container shim (add_state/reset/__call__->
+    #     update); no distributed sync, which the oracle tests don't use.
+    #   * reduction.reduce — the documented 'none'/'sum'/'elementwise_mean'
+    #     semantics (IoU uses 'none': identity).
+    #   * classification.stat_scores_multiple_classes — faithful
+    #     per-class tp/fp/tn/fn/support counts. NOTE shim-implemented
+    #     (lightning 0.x semantics): the IoU oracle leans on this; the
+    #     Panoptic/Planning oracles do NOT (their math is entirely in the
+    #     reference file).
+    if 'pytorch_lightning' not in sys.modules:
+        pl = _module('pytorch_lightning')
+        pl_metrics = _module('pytorch_lightning.metrics')
+        pl_metric_mod = _module('pytorch_lightning.metrics.metric')
+        pl_func = _module('pytorch_lightning.metrics.functional')
+        pl_cls = _module('pytorch_lightning.metrics.functional.classification')
+        pl_red = _module('pytorch_lightning.metrics.functional.reduction')
+
+        class Metric(tnn.Module):
+            def __init__(self, compute_on_step=False, **kw):
+                super().__init__()
+                self._state_defaults = {}
+
+            def add_state(self, name, default, dist_reduce_fx=None):
+                self._state_defaults[name] = (
+                    default.clone() if torch.is_tensor(default) else default)
+                setattr(self, name, default)
+
+            def reset(self):
+                for k, v in self._state_defaults.items():
+                    setattr(self, k, v.clone() if torch.is_tensor(v) else v)
+
+            def forward(self, *a, **k):
+                return self.update(*a, **k)
+
+        def reduce(x, reduction='none'):
+            if reduction == 'none':
+                return x
+            if reduction == 'sum':
+                return x.sum()
+            if reduction in ('elementwise_mean', 'mean'):
+                return x.mean()
+            raise ValueError(reduction)
+
+        def stat_scores_multiple_classes(pred, target, num_classes):
+            pred = pred.reshape(-1).long()
+            target = target.reshape(-1).long()
+            tps = torch.zeros(num_classes)
+            fps = torch.zeros(num_classes)
+            tns = torch.zeros(num_classes)
+            fns = torch.zeros(num_classes)
+            sups = torch.zeros(num_classes)
+            for c in range(num_classes):
+                p = pred == c
+                t = target == c
+                tps[c] = (p & t).sum()
+                fps[c] = (p & ~t).sum()
+                fns[c] = (~p & t).sum()
+                tns[c] = (~p & ~t).sum()
+                sups[c] = t.sum()
+            return tps, fps, tns, fns, sups
+
+        pl_metric_mod.Metric = Metric
+        pl_red.reduce = reduce
+        pl_cls.stat_scores_multiple_classes = stat_scores_multiple_classes
+        pl_func.classification = pl_cls
+        pl_func.reduction = pl_red
+        pl_metrics.metric = pl_metric_mod
+        pl_metrics.functional = pl_func
+        pl.metrics = pl_metrics
+
     # ---- numpy<1.24 compat: the reference was written against numpy
     # with the deprecated `np.int` alias (stp3/models/encoder.py:27
     # `np.log2(...).astype(np.int)`); restore it so the reference modules
