@@ -148,16 +148,24 @@ def main():
         / np.maximum(np.abs(orig), 1e-6))))
     loader.close()
 
+    # HEADLINE = sustained wall-clock per step (checkpoint save excluded):
+    # train_step is an async jit dispatch over the tunnel, so the per-step
+    # deltas measure loader+shard+dispatch latency, NOT device step time —
+    # reporting their median as "step time" would overstate throughput
+    # ~10x (the repo's own timing rule, CLAUDE.md / benchmarks/README.md).
+    # The dispatch percentiles are kept as secondary queue-health fields.
+    sustained_ms = (soak_s - (save_s or 0.0)) / n_steps * 1000.0
     print(json.dumps({
-        'metric': 'soak_train_step_p50',
-        'value': round(float(np.median(d)), 1),
+        'metric': 'soak_sustained_ms_per_step',
+        'value': round(sustained_ms, 1),
         'unit': 'ms',
         'n_steps': n_steps,
         'batch': batch_size,
         'workers': workers,
         'host_cpus': os.cpu_count(),
-        'p90_ms': round(float(np.percentile(d, 90)), 1),
-        'samples_per_sec': round(batch_size / float(np.median(d)) * 1e3, 2),
+        'dispatch_p50_ms': round(float(np.median(d)), 1),
+        'dispatch_p90_ms': round(float(np.percentile(d, 90)), 1),
+        'samples_per_sec': round(batch_size / sustained_ms * 1e3, 2),
         'soak_wall_s': round(soak_s, 1),
         'loss_first20_median': round(first20, 4),
         'loss_last20_median': round(last20, 4),

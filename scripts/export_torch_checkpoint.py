@@ -100,10 +100,14 @@ def main() -> None:
     for key in [k for k in sd if k.endswith('.running_mean')]:
         sd[key[:-len('running_mean')] + 'num_batches_tracked'] = np.int64(0)
 
+    # hyper_parameters must be the REFERENCE schema: its rehydration
+    # (fvcore/yacs merge_from_other_cfg, reference config.py:173-189)
+    # raises on unknown keys, so strip the TPU-side additions
+    from stp3_tpu.config import strip_tpu_only_keys
     blob = {
         'state_dict': {k: torch.from_numpy(np.ascontiguousarray(v))
                        for k, v in sd.items()},
-        'hyper_parameters': cfg.convert_to_dict(),
+        'hyper_parameters': strip_tpu_only_keys(cfg.convert_to_dict()),
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     torch.save(blob, args.output)

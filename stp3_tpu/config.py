@@ -285,6 +285,48 @@ def _defaults() -> CfgNode:
     return _C
 
 
+# Config keys with NO reference counterpart (TPU-side additions). The
+# reference rehydrates checkpoints via fvcore/yacs merge_from_other_cfg
+# (reference config.py:173-189), which raises on any unknown key — so a
+# cfg dict handed BACK to the reference ecosystem (the export CLI's
+# hyper_parameters) must strip these first. Kept in machine-checked sync
+# with the reference schema by tests/test_config.py::test_tpu_only_keys.
+TPU_ONLY_KEYS = (
+    'CHECKPOINT.DIR', 'CHECKPOINT.KEEP', 'CHECKPOINT.RESUME',
+    'CHECKPOINT.SAVE_EVERY_EPOCH',
+    'DATASET.VAL_SAMPLES',
+    'DEBUG.NAN_CHECK',
+    'MODEL.GN_GROUPS', 'MODEL.NORM', 'MODEL.REMAT',
+    'PARALLEL.DP', 'PARALLEL.MESH_AXES', 'PARALLEL.MULTIHOST',
+    'PLANNING.CAM_FRONT_PARITY',
+    'PROFILE.DIR', 'PROFILE.ENABLED', 'PROFILE.STEPS',
+    'WORKER_KIND',
+)
+
+
+def strip_tpu_only_keys(cfg_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """A deep copy of ``cfg_dict`` with every TPU_ONLY_KEYS path removed
+    and emptied parent groups pruned — a reference-schema-compatible
+    hyper_parameters dict."""
+    out = copy.deepcopy(dict(cfg_dict))
+    for dotted in TPU_ONLY_KEYS:
+        parts = dotted.split('.')
+        node = out
+        for p in parts[:-1]:
+            node = node.get(p)
+            if not isinstance(node, dict):
+                break
+        else:
+            node.pop(parts[-1], None)
+    def prune(d):
+        for k in [k for k, v in d.items() if isinstance(v, dict)]:
+            prune(d[k])
+            if not d[k]:
+                del d[k]
+    prune(out)
+    return out
+
+
 def get_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description='stp3_tpu training')
     parser.add_argument('--config-file', default='', metavar='FILE', help='path to config file')

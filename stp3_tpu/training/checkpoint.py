@@ -202,19 +202,37 @@ def restore_train_state(path: str, state, *, allow_unversioned: bool = False):
     _validate_version(resolved, allow_unversioned)
     ckptr = ocp.StandardCheckpointer()
     state_path = os.path.join(resolved, 'state')
+
+    def build_target(keys):
+        # 0-d ndarray, not np.int64 scalar: orbax targets take ndarrays
+        target = {'params': state.params, 'step': np.zeros((), np.int64)}
+        if 'opt_state' in keys:
+            target['opt_state'] = state.opt_state
+        if 'batch_stats' in keys and state.batch_stats is not None:
+            target['batch_stats'] = state.batch_stats
+        return target
+
     try:
         saved_keys = set(
             ckptr.metadata(state_path).item_metadata.tree.keys())
-    except Exception:   # orbax metadata layout moved: assume a full save
-        saved_keys = {'params', 'step', 'opt_state'} | (
-            {'batch_stats'} if state.batch_stats is not None else set())
-    # 0-d ndarray, not np.int64 scalar: orbax targets accept ndarrays only
-    target = {'params': state.params, 'step': np.zeros((), np.int64)}
-    if 'opt_state' in saved_keys:
-        target['opt_state'] = state.opt_state
-    if 'batch_stats' in saved_keys and state.batch_stats is not None:
-        target['batch_stats'] = state.batch_stats
-    restored = ckptr.restore(state_path, target=target)
+        candidates = [saved_keys]
+    except Exception:
+        # orbax metadata layout moved: probe richest-to-poorest targets
+        # (a target must match the SAVED tree exactly, so a full save
+        # needs the full target while a params-only torch import needs
+        # the minimal one — try both rather than assuming either)
+        candidates = [{'params', 'step', 'opt_state', 'batch_stats'},
+                      {'params', 'step', 'opt_state'},
+                      {'params', 'step'}]
+    last_err = None
+    for keys in candidates:
+        try:
+            restored = ckptr.restore(state_path, target=build_target(keys))
+            break
+        except Exception as exc:           # structure mismatch: next probe
+            last_err = exc
+    else:
+        raise last_err
     return state.replace(
         params=restored['params'],
         opt_state=restored.get('opt_state', state.opt_state),

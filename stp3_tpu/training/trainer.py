@@ -437,9 +437,10 @@ class Trainer:
                 m(np.asarray(labels['pedestrian']))[:, rf - 1:])
         if self.metric_hdmap_val is not None:
             hd = m(np.asarray(output['hdmap']))
+            hdl = m(np.asarray(labels['hdmap']))
             for i, metric in enumerate(self.metric_hdmap_val):
                 pred_i = hd[..., 2 * i:2 * (i + 1)].argmax(-1)
-                metric.update(pred_i, m(np.asarray(labels['hdmap']))[..., i])
+                metric.update(pred_i, hdl[..., i])
         if self.metric_panoptic_val is not None:
             consistent = predict_instance_segmentation_and_trajectories(output)
             self.metric_panoptic_val.update(

@@ -139,6 +139,39 @@ def test_restore_train_state_preserves_optax_containers(tmp_path):
         fresh.opt_state)
 
 
+def test_restore_train_state_survives_metadata_api_change(tmp_path,
+                                                          monkeypatch):
+    """If an orbax upgrade moves the metadata API, restore_train_state
+    must still restore BOTH a full save and a params-only save (it
+    probes richest-to-poorest targets instead of assuming either)."""
+    import orbax.checkpoint as ocp
+
+    from helpers import make_test_cfg
+    from stp3_tpu.training.trainer import TrainState, make_optimizer
+
+    cfg = make_test_cfg()
+    tx = make_optimizer(cfg)
+    state = TrainState.create(apply_fn=None, params=_tree(), tx=tx,
+                              batch_stats=None)
+    full = C.save_checkpoint(str(tmp_path / 'full'), 4, state.params,
+                             state.opt_state)
+    p_only = C.save_checkpoint(str(tmp_path / 'ponly'), 2, _tree(seed=3))
+
+    def broken_metadata(self, *a, **k):
+        raise AttributeError('metadata API moved')
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, 'metadata',
+                        broken_metadata)
+    r_full = C.restore_train_state(full, state)
+    assert int(r_full.step) == 4
+    r_full.apply_gradients(grads=jax.tree.map(  # containers intact
+        lambda x: jax.numpy.ones_like(x), r_full.params))
+    r_ponly = C.restore_train_state(p_only, state)
+    assert int(r_ponly.step) == 2
+    assert jax.tree.structure(r_ponly.opt_state) == jax.tree.structure(
+        state.opt_state)
+
+
 def test_warm_start_filters_decoder_and_mismatches():
     """Reference train.py:21-29: load everything except decoder keys,
     skip shape mismatches (strict=False)."""

@@ -321,7 +321,16 @@ def test_export_cli_roundtrip(bn_frozen_norm, tmp_path, monkeypatch):
     # reference-format essentials present
     assert 'model.frustum' in sd and 'model.bev_resolution' in sd
     assert any(k.endswith('num_batches_tracked') for k in sd)
-    assert blob['hyper_parameters']['MODEL']['NORM'] == 'bn_frozen'
+    # hyper_parameters is REFERENCE-schema: TPU-only keys stripped (the
+    # reference's yacs rehydration raises on unknown keys)
+    from stp3_tpu.config import TPU_ONLY_KEYS
+    hp = blob['hyper_parameters']
+    for dotted in TPU_ONLY_KEYS:
+        node = hp
+        for p in dotted.split('.')[:-1]:
+            node = node.get(p, {})
+        assert dotted.split('.')[-1] not in node, dotted
+    assert hp['MODEL']['ENCODER']['NAME'] == 'efficientnet-b0'
     # values round-trip: the exported tensors match a direct export
     direct = ti.export_state_dict(params, mcfg)
     for k in list(direct)[:20] + ['model.segmentation_weight']:

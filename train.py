@@ -120,9 +120,10 @@ def main():
     step = int(host_value(state.step))
     for epoch in range(cfg.EPOCHS):
         # device prefetch: shard_batch (loader pull + host->device
-        # transfer) runs one batch ahead in a background thread so
-        # transfer overlaps the previous step's compute (auto-off on
-        # single-core hosts — see mesh.default_prefetch_size)
+        # transfer) can run one batch ahead in a background thread so
+        # transfer overlaps compute — OFF by default until measured on a
+        # multi-core host; STP3_DEVICE_PREFETCH=<n> opts in (see
+        # mesh.default_prefetch_size for the measured rationale)
         for batch in prefetch_to_device(iter(trainloader), trainer.mesh,
                                         size=default_prefetch_size()):
             if profile_dir is not None and step == 1:
