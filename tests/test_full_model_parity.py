@@ -254,6 +254,50 @@ def test_whole_model_forward_and_plan_parity(parity_pair):
                                    err_msg=f'refined traj ({command})')
 
 
+def test_whole_model_export_direction_parity():
+    """The EXPORT direction: flax-init params -> export_state_dict ->
+    loaded into the reference STP3 -> reference forward must match the
+    flax forward. Together with the import-direction fixture above this
+    closes checkpoint interchange BOTH ways at the whole-model level
+    (scripts/export_torch_checkpoint.py is this path plus packaging)."""
+    from stp3_tpu.utils.torch_import import export_state_dict, init_param_tree
+
+    cfg = _tiny_cfg()
+    mcfg = STP3Config.from_cfg(cfg)
+    params = init_param_tree(mcfg, seed=33)
+    sd = export_state_dict(params, mcfg)
+
+    ref = ref_stp3.STP3(cfg)
+    _attach_uncertainty_weights(ref, cfg)
+    missing, unexpected = ref.load_state_dict(
+        {k[len('model.'):]: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected[:5]
+    # everything the exporter does not emit is a constant buffer /
+    # bookkeeping the reference constructor already initialised
+    ok = ('cost_function.', 'num_batches_tracked', 'frustum',
+          'bev_resolution', 'bev_start_position', 'bev_dimension')
+    residue = [k for k in missing if not any(s in k for s in ok)]
+    assert not residue, residue[:5]
+    ref.eval()
+
+    image, K, E, ego = _inputs(cfg, seed=2)
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(np.moveaxis(image, -1, 3).copy()),
+                    torch.from_numpy(K), torch.from_numpy(E),
+                    torch.from_numpy(ego))
+    model = STP3(mcfg)
+    out_j = model.apply({'params': jax.tree.map(jnp.asarray, params)},
+                        jnp.asarray(image), jnp.asarray(K), jnp.asarray(E),
+                        jnp.asarray(ego), train=False)
+    np.testing.assert_allclose(np.asarray(out_j['segmentation']),
+                               to_last(out_t['segmentation']),
+                               atol=2e-3, rtol=1e-3, err_msg='segmentation')
+    np.testing.assert_allclose(np.asarray(out_j['costvolume']),
+                               out_t['costvolume'].numpy(),
+                               atol=2e-3, rtol=1e-3, err_msg='costvolume')
+
+
 def test_prepare_future_labels_parity():
     """Trainer label preparation vs the reference recipe
     (trainer.py:254-360) executed with the REFERENCE's own torch warp
